@@ -1,0 +1,432 @@
+"""Flax building blocks for LM-Net, designed NHWC/TPU-first.
+
+Behavioral parity targets (reference ``core/modules.py``):
+  SE                      :1020-1044   squeeze-and-excitation
+  ReparamConv             :525-657     multi-branch depthwise block + fusion
+  OverlapPatchEmbed       :22-40       conv patch embed
+  Mlp                     :42-56       2-layer MLP, GELU, dropout 0.1
+  GlobalAttention         :235-279     full MHSA (bottleneck, 16x16 tokens)
+  GFT                     :329-347     global-former bottleneck block
+  PyramidPool             :454-498     multi-scale pool + concat
+  M2Skip / M3Skip         :83-143      multi-scale skip fusion
+  NeighborhoodTransformer :504-521     NAT block (NATTEN -> lmnet_tpu.ops.nat)
+
+Everything is NHWC (channels on TPU lanes); there are no layout permutes
+anywhere in the network — the reference's NCHW<->NHWC shuffles around NATTEN
+disappear by construction.  Numerics notes:
+  * GELU is the exact (erf) variant, matching ``nn.GELU`` defaults.
+  * LayerNorm/BatchNorm eps = 1e-5 (torch defaults); BatchNorm momentum 0.9
+    in Flax convention == torch momentum 0.1.
+  * Conv/Dense use torch-style kaiming-uniform fan-in init so training
+    dynamics match the reference's initialization family.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from lmnet_tpu.ops.nat import neighborhood_attention
+from lmnet_tpu.ops.resize import (
+    adaptive_avg_pool,
+    global_avg_pool,
+    upsample2x_align_corners,
+)
+
+Dtype = Any
+
+# ---------------------------------------------------------------------------
+# torch-default initializers (kaiming_uniform(a=sqrt(5)) == U(+-sqrt(1/fan_in)))
+# ---------------------------------------------------------------------------
+
+torch_kernel_init = nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
+trunc_normal_init = nn.initializers.truncated_normal(stddev=0.02)
+
+
+def torch_bias_init(fan_in: int):
+    bound = 1.0 / math.sqrt(fan_in) if fan_in > 0 else 0.0
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+def gelu(x):
+    return jax.nn.gelu(x, approximate=False)
+
+
+class TorchConv(nn.Module):
+    """nn.Conv with torch-default initialization (weights and bias)."""
+
+    features: int
+    kernel_size: tuple[int, int] = (3, 3)
+    strides: tuple[int, int] = (1, 1)
+    padding: Any = None  # None -> torch-style k//2 explicit padding
+    feature_group_count: int = 1
+    use_bias: bool = True
+    kernel_init: Any = None
+    dtype: Dtype = None
+
+    @nn.compact
+    def __call__(self, x):
+        in_ch = x.shape[-1]
+        kh, kw = self.kernel_size
+        pad = self.padding
+        if pad is None:
+            pad = [(kh // 2, kh // 2), (kw // 2, kw // 2)]
+        fan_in = kh * kw * (in_ch // self.feature_group_count)
+        return nn.Conv(
+            features=self.features,
+            kernel_size=self.kernel_size,
+            strides=self.strides,
+            padding=pad,
+            feature_group_count=self.feature_group_count,
+            use_bias=self.use_bias,
+            kernel_init=self.kernel_init or torch_kernel_init,
+            bias_init=torch_bias_init(fan_in),
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+
+
+class TorchDense(nn.Module):
+    """nn.Dense with torch-default initialization."""
+
+    features: int
+    use_bias: bool = True
+    kernel_init: Any = None
+    bias_init: Any = None
+    dtype: Dtype = None
+
+    @nn.compact
+    def __call__(self, x):
+        fan_in = x.shape[-1]
+        return nn.Dense(
+            features=self.features,
+            use_bias=self.use_bias,
+            kernel_init=self.kernel_init or torch_kernel_init,
+            bias_init=self.bias_init or torch_bias_init(fan_in),
+            dtype=self.dtype,
+            name="dense",
+        )(x)
+
+
+def batch_norm(name: str, train: bool, dtype: Dtype = None) -> nn.BatchNorm:
+    """torch-parity BatchNorm (eps 1e-5, torch momentum 0.1)."""
+    return nn.BatchNorm(
+        use_running_average=not train,
+        momentum=0.9,
+        epsilon=1e-5,
+        dtype=dtype,
+        name=name,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Blocks
+# ---------------------------------------------------------------------------
+
+
+class SE(nn.Module):
+    """Squeeze-and-excitation (reference core/modules.py:1020-1044)."""
+
+    channels: int
+    reduction: int = 4
+    dtype: Dtype = None
+
+    @nn.compact
+    def __call__(self, x):
+        kaiming = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
+        s = global_avg_pool(x)  # (B, 1, 1, C)
+        s = nn.Conv(
+            self.channels // self.reduction,
+            (1, 1),
+            kernel_init=kaiming,
+            bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
+            name="fc1",
+        )(s)
+        s = jax.nn.relu(s)
+        s = nn.Conv(
+            self.channels,
+            (1, 1),
+            kernel_init=kaiming,
+            bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
+            name="fc2",
+        )(s)
+        s = jax.nn.hard_sigmoid(s)
+        return x * s
+
+
+class ReparamConv(nn.Module):
+    """Re-parameterizable multi-branch depthwise block
+    (reference core/modules.py:525-657).
+
+    Train graph: 1x1 expand + BN + hardswish -> sum of 4 parallel depthwise
+    branches (5x5, 3x3, 3x1, 1x3; each conv+BN) -> GELU -> SE -> 1x1
+    pointwise -> + 1x1 shortcut of the input.
+
+    Deploy graph (``deploy=True``): the 4 branches are replaced by a single
+    fused 5x5 depthwise conv with bias (see ``ops/reparam.py`` and
+    ``models/lm_net.py::structural_reparam``).
+    """
+
+    expand_channels: int
+    out_channels: int
+    large_kernel: int = 5
+    small_kernel: int = 3
+    stride: int = 1
+    deploy: bool = False
+    dtype: Dtype = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        ec = self.expand_channels
+        s = (self.stride, self.stride)
+        x1 = TorchConv(ec, (1, 1), dtype=self.dtype, name="expand_conv")(x)
+        x1 = batch_norm("expand_bn", train, self.dtype)(x1)
+        x1 = jax.nn.hard_swish(x1)
+
+        def dw(name, ksize):
+            return TorchConv(
+                ec,
+                ksize,
+                strides=s,
+                feature_group_count=ec,
+                use_bias=False,
+                dtype=self.dtype,
+                name=name,
+            )
+
+        if self.deploy:
+            out = TorchConv(
+                ec,
+                (self.large_kernel, self.large_kernel),
+                strides=s,
+                feature_group_count=ec,
+                use_bias=True,
+                dtype=self.dtype,
+                name="fuse_conv",
+            )(x1)
+        else:
+            lk, sk = self.large_kernel, self.small_kernel
+            out = batch_norm("large_bn", train, self.dtype)(dw("large_conv", (lk, lk))(x1))
+            out = out + batch_norm("square_bn", train, self.dtype)(dw("square_conv", (sk, sk))(x1))
+            out = out + batch_norm("ver_bn", train, self.dtype)(dw("ver_conv", (sk, 1))(x1))
+            out = out + batch_norm("hor_bn", train, self.dtype)(dw("hor_conv", (1, sk))(x1))
+
+        x1 = SE(ec, dtype=self.dtype, name="se")(gelu(out))
+        x1 = TorchConv(self.out_channels, (1, 1), dtype=self.dtype, name="pointwise_conv")(x1)
+        return x1 + TorchConv(self.out_channels, (1, 1), dtype=self.dtype, name="shortcut")(x)
+
+
+class Mlp(nn.Module):
+    """2-layer MLP, exact GELU, dropout 0.1 (reference core/modules.py:42-56)."""
+
+    hidden: int
+    out: int
+    drop: float = 0.1
+    dtype: Dtype = None
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        x = TorchDense(self.hidden, dtype=self.dtype, name="fc1")(x)
+        x = gelu(x)
+        x = nn.Dropout(self.drop)(x, deterministic=deterministic)
+        x = TorchDense(self.out, dtype=self.dtype, name="fc2")(x)
+        x = nn.Dropout(self.drop)(x, deterministic=deterministic)
+        return x
+
+
+class OverlapPatchEmbed(nn.Module):
+    """Conv patch embedding (reference core/modules.py:22-40). NHWC in/out."""
+
+    embed_dim: int
+    patch_size: int = 3
+    stride: int = 1
+    dtype: Dtype = None
+
+    @nn.compact
+    def __call__(self, x):
+        return TorchConv(
+            self.embed_dim,
+            (self.patch_size, self.patch_size),
+            strides=(self.stride, self.stride),
+            dtype=self.dtype,
+            name="proj",
+        )(x)
+
+
+class GlobalAttention(nn.Module):
+    """Full MHSA over flattened tokens (reference core/modules.py:235-279).
+
+    Linears use trunc-normal(0.02) weight / zero bias init, matching the
+    reference's ``_init_weights``.
+    """
+
+    dim: int
+    num_heads: int
+    dtype: Dtype = None
+
+    @nn.compact
+    def __call__(self, x):  # x: (B, N, C)
+        B, N, C = x.shape
+        h = self.num_heads
+        hd = C // h
+        qkv = nn.Dense(
+            3 * C,
+            kernel_init=trunc_normal_init,
+            bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
+            name="qkv",
+        )(x)
+        qkv = qkv.reshape(B, N, 3, h, hd)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, h, hd)
+        scale = hd**-0.5
+        attn = jnp.einsum("bnhd,bmhd->bhnm", q * scale, k, optimize=True)
+        attn = jax.nn.softmax(attn, axis=-1)
+        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v, optimize=True).reshape(B, N, C)
+        return nn.Dense(
+            C,
+            kernel_init=trunc_normal_init,
+            bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
+            name="proj",
+        )(out)
+
+
+class GFT(nn.Module):
+    """Global-former bottleneck (reference core/modules.py:329-347):
+    patch embed -> LN -> MHSA (+res) -> LN -> MLP (+res) -> 1x1 conv."""
+
+    dim: int
+    out_channels: int
+    num_heads: int = 12
+    mlp_ratio: int = 2
+    patch_size: int = 3
+    dtype: Dtype = None
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):  # NHWC
+        B, H, W, C = x.shape
+        emb = OverlapPatchEmbed(self.dim, self.patch_size, 1, self.dtype, name="embed")(x)
+        tokens = emb.reshape(B, H * W, self.dim)
+        ln1 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(tokens)
+        att = GlobalAttention(self.dim, self.num_heads, self.dtype, name="attn")(ln1) + tokens
+        ln2 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(att)
+        out = Mlp(self.mlp_ratio * self.dim, self.dim, dtype=self.dtype, name="mlp")(
+            ln2, deterministic
+        ) + att
+        out = out.reshape(B, H, W, self.dim)
+        return TorchConv(self.out_channels, (1, 1), dtype=self.dtype, name="out_conv")(out)
+
+
+def pyramid_pool(xs: Sequence[jnp.ndarray], x_last: jnp.ndarray) -> jnp.ndarray:
+    """Adaptive-avg-pool every scale to x_last's (H, W) and channel-concat
+    (reference core/modules.py:495-498)."""
+    h, w = x_last.shape[1], x_last.shape[2]
+    pooled = [adaptive_avg_pool(x, (h, w)) for x in xs]
+    return jnp.concatenate(pooled + [x_last], axis=-1)
+
+
+class M3Skip(nn.Module):
+    """3-scale skip fusion (reference core/modules.py:83-107): downsample the
+    large scale, 3x3 the mid, upsample the small; concat; 3x3+BN+GELU fuse."""
+
+    channels: tuple[int, int, int]  # (large, mid, small) channel counts
+    dtype: Dtype = None
+
+    @nn.compact
+    def __call__(self, xl, xm, xs, train: bool = False):
+        cm = self.channels[1]
+        a = TorchConv(cm, (3, 3), strides=(2, 2), dtype=self.dtype, name="convl")(xl)
+        b = TorchConv(cm, (3, 3), dtype=self.dtype, name="convm")(xm)
+        c = TorchConv(cm, (3, 3), dtype=self.dtype, name="convs")(
+            upsample2x_align_corners(xs)
+        )
+        x = jnp.concatenate([a, b, c], axis=-1)
+        x = TorchConv(cm, (3, 3), dtype=self.dtype, name="fuse_conv")(x)
+        x = batch_norm("fuse_bn", train, self.dtype)(x)
+        return gelu(x)
+
+
+class M2Skip(nn.Module):
+    """2-scale skip fusion (reference core/modules.py:109-143).
+
+    mode='bottom': downsample the larger map to the smaller grid;
+    mode='top': upsample the smaller map to the larger grid.
+    """
+
+    channels: tuple[int, int]  # (large-scale ch, small-scale ch)
+    mode: str = "bottom"
+    dtype: Dtype = None
+
+    @nn.compact
+    def __call__(self, xl, xs, train: bool = False):
+        if self.mode == "bottom":
+            cout = self.channels[1]
+            a = TorchConv(cout, (3, 3), strides=(2, 2), dtype=self.dtype, name="convl")(xl)
+            b = TorchConv(cout, (3, 3), dtype=self.dtype, name="convs")(xs)
+        else:
+            cout = self.channels[0]
+            a = TorchConv(cout, (3, 3), dtype=self.dtype, name="convl")(xl)
+            b = TorchConv(cout, (3, 3), dtype=self.dtype, name="convs")(
+                upsample2x_align_corners(xs)
+            )
+        x = jnp.concatenate([a, b], axis=-1)
+        x = TorchConv(cout, (3, 3), dtype=self.dtype, name="fuse_conv")(x)
+        x = batch_norm("fuse_bn", train, self.dtype)(x)
+        return gelu(x)
+
+
+class NeighborhoodAttention2D(nn.Module):
+    """NAT layer with qkv/proj linears + relative position bias — the module
+    face of ``ops.nat.neighborhood_attention`` (replaces the NATTEN CUDA op,
+    reference core/modules.py:18,509)."""
+
+    dim: int
+    num_heads: int
+    kernel_size: int = 3
+    dtype: Dtype = None
+
+    @nn.compact
+    def __call__(self, x):  # NHWC
+        C = self.dim
+        qkv = TorchDense(3 * C, dtype=self.dtype, name="qkv")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        rpb = self.param(
+            "rpb",
+            trunc_normal_init,
+            (self.num_heads, 2 * self.kernel_size - 1, 2 * self.kernel_size - 1),
+        )
+        out = neighborhood_attention(q, k, v, rpb, self.kernel_size)
+        return TorchDense(C, dtype=self.dtype, name="proj")(out)
+
+
+class NeighborhoodTransformer(nn.Module):
+    """NAT block (reference core/modules.py:504-521): patch embed -> LN ->
+    NAT (+res on embedding) -> LN -> MLP (+res).  Stays NHWC throughout."""
+
+    dim: int
+    num_heads: int = 12
+    kernel_size: int = 3
+    patch_size: int = 3
+    dtype: Dtype = None
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        emb = OverlapPatchEmbed(self.dim, self.patch_size, 1, self.dtype, name="embed")(x)
+        ln1 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(emb)
+        att = NeighborhoodAttention2D(
+            self.dim, self.num_heads, self.kernel_size, self.dtype, name="attn"
+        )(ln1) + emb
+        ln2 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(att)
+        return Mlp(2 * self.dim, self.dim, dtype=self.dtype, name="mlp")(
+            ln2, deterministic
+        ) + att

@@ -1,0 +1,73 @@
+"""Device-mesh parallelism: the real implementation of what the reference's
+``utils/distributed_utils.py`` scaffolds (NCCL init / all-reduce / rank
+helpers, reference :7-70 — latent, never wired in).
+
+TPU-native mapping (SURVEY §5.8):
+  init_process_group/NCCL  -> jax.sharding.Mesh over ICI; no init dance
+  all_reduce(mean)         -> automatic: grads of a sharded-batch loss under
+                              jit ARE the global gradients (XLA inserts the
+                              psum); nothing to call
+  rank / world_size        -> jax.process_index() / jax.process_count()
+  is_main_process          -> process_index() == 0 (gates checkpoint/CSV IO)
+  DistributedSampler       -> shard the batch over the 'data' mesh axis
+  --syncBN                 -> free under jit: a mean over a sharded batch
+                              axis is already the global mean
+
+The mesh has two axes:
+  'data'    — batch-dimension data parallelism
+  'spatial' — optional sharding of the image H dimension: the vision twin of
+              sequence parallelism. XLA's SPMD partitioner inserts the k//2
+              halo exchanges for convs and the NAT edge-pad windows
+              automatically, riding ICI.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    n_data: int | None = None,
+    n_spatial: int = 1,
+    devices: list | None = None,
+) -> Mesh:
+    """Build a ('data', 'spatial') mesh over the available devices."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if n_data is None:
+        n_data = n // n_spatial
+    assert n_data * n_spatial == n, (
+        f"mesh {n_data}x{n_spatial} != {n} devices"
+    )
+    arr = np.asarray(devices).reshape(n_data, n_spatial)
+    return Mesh(arr, ("data", "spatial"))
+
+
+def batch_sharding(mesh: Mesh, spatial: bool = True) -> NamedSharding:
+    """Sharding for NHWC image batches: B over 'data', H over 'spatial'."""
+    spec = P("data", "spatial" if spatial else None)
+    return NamedSharding(mesh, spec)
+
+
+def label_sharding(mesh: Mesh, spatial: bool = True) -> NamedSharding:
+    return batch_sharding(mesh, spatial)
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, images, labels, spatial: bool = True):
+    """Place a host batch onto the mesh, sharded over data (+spatial)."""
+    sh = batch_sharding(mesh, spatial)
+    return jax.device_put(images, sh), jax.device_put(labels, sh)
+
+
+def replicate(mesh: Mesh, tree: Any) -> Any:
+    """Fully replicate a pytree (params/opt state) across the mesh."""
+    sh = replicated(mesh)
+    return jax.device_put(tree, sh)
