@@ -1,0 +1,259 @@
+"""Training/eval CLI — the reference's ``train.py`` surface, TPU-native.
+
+Flag names and defaults follow reference ``train.py:245-281`` (inert flags
+are kept for compatibility and documented); data/checkpoint roots are flags
+instead of hard-coded absolute paths (SURVEY Appendix A defect #1).
+
+Modes:
+  (default)        5-fold training loop (k_fold) or single fold
+  --resume         restore rolling checkpoint, continue at epoch+1
+  --test           load checkpoint, evaluate on test manifest, append CSV
+  --visualization  load best checkpoint, render predictions, exit
+  --plot           mDice curves from per-fold CSVs
+
+Logging contract (reference train.py:218-224): per-epoch append of 16
+columns — train/val x (loss, accuracy, precision, recall, specificity,
+dice, iou, mean_iou) — to ``{model}{dataset}_{fold}.csv``; best row to
+``...bestresult_{fold}.csv``; checkpoint fields per train/checkpoint.py.
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import os
+import random
+
+import jax
+import numpy as np
+
+
+def set_seed(seed: int = 42) -> None:
+    """Reference set_seed (data_loading.py:28-35) without the CUDA knobs:
+    python/numpy seeding; JAX randomness is explicit-key so nothing global."""
+    random.seed(seed)
+    np.random.seed(seed)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="LM-Net TPU training")
+    p.add_argument("--num_classes", type=int, default=2)
+    p.add_argument("--epochs", type=int, default=200)
+    p.add_argument("--batch_size", type=int, default=2)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--weight_decay", type=float, default=1e-4)
+    p.add_argument("--syncBN", type=bool, default=True,
+                   help="cross-device BN stats; automatic under a sharded batch")
+    p.add_argument("--smoothing", type=float, default=0.001)
+    p.add_argument("--num_workers", type=int, default=4)
+    p.add_argument("--dataset", type=str, default="Kvasir",
+                   choices=["Basic", "Kvasir", "BUSI", "CVCDataset", "VOC2012"])
+    p.add_argument("--model", type=str, default="LM_Net")
+    p.add_argument("--categories", type=str, default="binary",
+                   choices=["binary", "multiclass", "multilabel"])
+    p.add_argument("--visualization", action="store_true", default=False)
+    p.add_argument("--test", action="store_true", default=False)
+    p.add_argument("--resume", action="store_true", default=False)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--deep_supervision", type=bool, default=False,
+                   help="accepted for parity; unused by the model (as in reference)")
+    p.add_argument("--mixup", type=bool, default=False,
+                   help="inert in the reference (train.py:150-153); kept for parity")
+    p.add_argument("--apm", action="store_true", default=False,
+                   help="mixed precision: bf16 compute policy (AMP analogue)")
+    p.add_argument("--plot", action="store_true", default=False)
+    p.add_argument("--distributed", type=bool, default=False,
+                   help="shard the batch over all local devices")
+    p.add_argument("--k_fold", type=bool, default=True)
+    # new, replacing hard-coded absolute paths
+    p.add_argument("--img_size", type=int, default=256)
+    p.add_argument("--manifest_dir", type=str, default="manifests")
+    p.add_argument("--data_root", type=str, default=None)
+    p.add_argument("--ckpt_dir", type=str, default="checkpoints")
+    p.add_argument("--out_dir", type=str, default="results")
+    p.add_argument("--synthetic", action="store_true", default=False,
+                   help="use the synthetic dataset (smoke tests, no files needed)")
+    return p
+
+
+def _manifest(args, split: str, fold: int) -> str:
+    name = {"CVCDataset": "CVC"}.get(args.dataset, args.dataset)
+    if split == "test":
+        return os.path.join(args.manifest_dir, f"test_{name}_0.1.csv")
+    return os.path.join(args.manifest_dir, f"{split}_{name}_{fold}.csv")
+
+
+def _datasets(args, fold: int):
+    from lmnet_tpu.data.datasets import SegmentationDataset, SyntheticDataset
+
+    if args.synthetic:
+        mk = lambda mode, n: SyntheticDataset(n, args.img_size, mode, seed=args.seed)
+        return mk("train", 8), mk("val", 4), mk("val", 4)
+    kw = dict(img_size=args.img_size, root=args.data_root)
+    train = SegmentationDataset.from_csv(_manifest(args, "train", fold), "train", **kw)
+    val = SegmentationDataset.from_csv(_manifest(args, "val", fold), "val", **kw)
+    test_csv = _manifest(args, "test", fold)
+    test = (
+        SegmentationDataset.from_csv(test_csv, "val", **kw)
+        if os.path.exists(test_csv)
+        else val
+    )
+    return train, val, test
+
+
+def _loaders(args, datasets, epoch: int):
+    from lmnet_tpu.data.datasets import make_loader
+
+    train, val, test = datasets
+    mk = lambda ds, sh, ep: make_loader(
+        ds, args.batch_size, shuffle=sh, seed=args.seed, epoch=ep,
+        num_threads=args.num_workers, drop_last=sh,
+    )
+    return mk(train, True, epoch), mk(val, False, 0), mk(test, False, 0)
+
+
+def main_single(fold: int, args) -> dict:
+    import jax.numpy as jnp
+
+    from lmnet_tpu.models import LMNet
+    from lmnet_tpu.train import checkpoint as ckpt
+    from lmnet_tpu.train.engine import create_train_state, make_optimizer
+    from lmnet_tpu.train.loop import evaluate, train_one_epoch, visualize
+
+    set_seed(args.seed)
+    datasets = _datasets(args, fold)
+    steps_per_epoch = max(len(datasets[0]) // args.batch_size, 1)
+
+    model = LMNet(
+        num_classes=args.num_classes,
+        deep_supervision=args.deep_supervision,
+        dtype=jnp.bfloat16 if args.apm else None,
+    )
+    tx = make_optimizer(
+        base_lr=args.lr,
+        weight_decay=args.weight_decay,
+        epochs=args.epochs,
+        steps_per_epoch=steps_per_epoch,
+    )
+    state = create_train_state(
+        model,
+        jax.random.key(args.seed),
+        (args.batch_size, args.img_size, args.img_size, 3),
+        tx=tx,
+    )
+
+    tag = f"{args.model}{args.dataset}"
+    rolling = f"{tag}_{fold}_checkpoint"
+    best_name = f"{tag}best_{fold}"
+    os.makedirs(args.out_dir, exist_ok=True)
+
+    start_epoch = 0
+    if args.resume and ckpt.checkpoint_exists(args.ckpt_dir, rolling):
+        state, last_epoch = ckpt.restore_checkpoint(args.ckpt_dir, rolling, state)
+        start_epoch = last_epoch + 1
+        print(f"resumed fold {fold} at epoch {start_epoch}")
+
+    if args.visualization:
+        if ckpt.checkpoint_exists(args.ckpt_dir, best_name):
+            state, _ = ckpt.restore_checkpoint(args.ckpt_dir, best_name, state)
+        _, _, test_loader = _loaders(args, datasets, 0)
+        n = visualize(state, test_loader, os.path.join(args.out_dir, "viz"),
+                      args.num_classes, args.img_size)
+        print(f"wrote {n} visualizations")
+        return {}
+
+    if args.test:
+        if ckpt.checkpoint_exists(args.ckpt_dir, rolling):
+            state, _ = ckpt.restore_checkpoint(args.ckpt_dir, rolling, state)
+        _, _, test_loader = _loaders(args, datasets, 0)
+        test_loss, m = evaluate(state, test_loader, args.num_classes, args.img_size)
+        row = [test_loss, m["accuracy"], m["precision"], m["recall"],
+               m["specificity"], m["dice"], m["iou"], m["mean_iou"]]
+        print(
+            " test_loss:{:.4f} test_accuracy:{:.4f} test_precision:{:.4f}"
+            " test_recall:{:.4f} test_specificity:{:.4f} test_dice:{:.4f}"
+            " test_iou:{:.4f} test_mean_iou:{:.4f}".format(*row)
+        )
+        with open(os.path.join(args.out_dir, f"{tag}test_rvd_class.csv"),
+                  "a", encoding="utf-8", newline="") as fw:
+            csv.writer(fw).writerow(f"{e:.4f}" for e in row)
+        return dict(zip(["loss", "accuracy", "precision", "recall",
+                         "specificity", "dice", "iou", "mean_iou"], row))
+
+    best_iou = 0.0
+    last_metrics: dict = {}
+    for epoch in range(start_epoch, args.epochs):
+        print(f"epoch:{epoch + 1}")
+        train_loader, val_loader, _ = _loaders(args, datasets, epoch)
+        rng = jax.random.fold_in(jax.random.key(args.seed), epoch)
+        state, train_loss, tm = train_one_epoch(
+            state, train_loader, rng, args.num_classes, args.img_size
+        )
+        val_loss, vm = evaluate(state, val_loader, args.num_classes, args.img_size)
+        print(
+            " train_loss:{:.4f} train_dice:{:.4f} train_iou:{:.4f} "
+            "val_loss:{:.4f} val_dice:{:.4f} val_iou:{:.4f} ({:.1f} img/s)".format(
+                train_loss, tm["dice"], tm["iou"], val_loss, vm["dice"], vm["iou"],
+                tm["images_per_sec"],
+            )
+        )
+        row = [
+            train_loss, tm["accuracy"], tm["precision"], tm["recall"],
+            tm["specificity"], tm["dice"], tm["iou"], tm["mean_iou"],
+            val_loss, vm["accuracy"], vm["precision"], vm["recall"],
+            vm["specificity"], vm["dice"], vm["iou"], vm["mean_iou"],
+        ]
+        with open(os.path.join(args.out_dir, f"{tag}_{fold}.csv"),
+                  "a", encoding="utf-8", newline="") as fw:
+            csv.writer(fw).writerow(f"{e:.4f}" for e in row)
+        ckpt.save_checkpoint(args.ckpt_dir, rolling, state, epoch)
+        if vm["iou"] > best_iou:
+            best_iou = vm["iou"]
+            ckpt.save_checkpoint(args.ckpt_dir, best_name, state, epoch)
+            with open(os.path.join(args.out_dir, f"{tag}bestresult_{fold}.csv"),
+                      "w", encoding="utf-8", newline="") as fw:
+                csv.writer(fw).writerow(f"{e:.4f}" for e in row)
+        last_metrics = {"val_iou": vm["iou"], "val_dice": vm["dice"],
+                        "best_iou": best_iou, "epoch": epoch}
+    return last_metrics
+
+
+def plot_curves(args) -> None:
+    """mDice curves across models/datasets from the per-fold CSVs
+    (reference plot mode, train.py:44-106)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(8, 5))
+    import glob
+
+    for path in sorted(glob.glob(os.path.join(args.out_dir, "*_[0-9].csv"))):
+        rows = list(csv.reader(open(path)))
+        if not rows:
+            continue
+        val_dice = [float(r[13]) for r in rows if len(r) >= 16]
+        ax.plot(val_dice, label=os.path.basename(path)[:-4])
+    ax.set_xlabel("epoch")
+    ax.set_ylabel("val mDice")
+    ax.legend(fontsize=6)
+    out = os.path.join(args.out_dir, "mdice_curves.png")
+    fig.savefig(out, dpi=150)
+    print(f"wrote {out}")
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+    if args.plot:
+        plot_curves(args)
+        return
+    folds = range(5) if (args.k_fold and not (args.test or args.visualization)) else [0]
+    for fold in folds:
+        print(f"========fold {fold} train begin========")
+        main_single(fold, args)
+        print(f"========fold {fold} train end========")
+
+
+if __name__ == "__main__":
+    main()

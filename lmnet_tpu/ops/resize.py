@@ -63,12 +63,19 @@ def _adaptive_pool_matrix(in_size: int, out_size: int) -> np.ndarray:
 
 
 def _apply_separable(x: jnp.ndarray, mh: np.ndarray, mw: np.ndarray) -> jnp.ndarray:
-    """Apply row matrix mh (H'->H) and col matrix mw (W'->W) to NHWC x."""
+    """Apply row matrix mh (H'->H) and col matrix mw (W'->W) to NHWC x.
+
+    HIGHEST precision: interpolation weights must not round to bf16 on the
+    MXU (torch-parity), and these matmuls are tiny next to the conv stack.
+    """
+    import jax
+
     mh = jnp.asarray(mh, dtype=x.dtype)
     mw = jnp.asarray(mw, dtype=x.dtype)
+    p = jax.lax.Precision.HIGHEST
     # (B,H,W,C) -> (B,H',W,C) -> (B,H',W',C)
-    x = jnp.einsum("bhwc,oh->bowc", x, mh, optimize=True)
-    x = jnp.einsum("bhwc,ow->bhoc", x, mw, optimize=True)
+    x = jnp.einsum("bhwc,oh->bowc", x, mh, optimize=True, precision=p)
+    x = jnp.einsum("bhwc,ow->bhoc", x, mw, optimize=True, precision=p)
     return x
 
 

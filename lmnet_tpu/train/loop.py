@@ -1,0 +1,108 @@
+"""Epoch-level train/eval loops (reference ``utils/train_eval_utils.py``).
+
+Differences by design (all TPU-idiomatic fixes of reference defects):
+  * metrics accumulate on device; ONE host transfer per epoch
+    (reference syncs per batch, train_eval_utils.py:150-156);
+  * augmentation runs on device inside the step stream;
+  * ``evaluate`` returns a scalar, not a 1-tuple (reference :199 quirk).
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lmnet_tpu.data import augment
+from lmnet_tpu.metrics.confusion import ConfusionAccumulator, derived_metrics
+from lmnet_tpu.train.engine import eval_step, train_step
+
+
+def train_one_epoch(
+    state,
+    loader,
+    rng: jax.Array,
+    num_classes: int = 2,
+    img_size: int = 256,
+    augment_on_device: bool = True,
+    log_every: int = 0,
+):
+    """Run one training epoch. Returns (state, total_loss, metrics dict)."""
+    cm = ConfusionAccumulator.init(num_classes)
+    total_loss = 0.0
+    aug_key, step_key = jax.random.split(rng)
+    n_steps = 0
+    t0 = time.time()
+    for bi, (images, masks) in enumerate(loader):
+        if augment_on_device:
+            batch_key = jax.random.fold_in(aug_key, bi)
+            x, y = augment.train_pipeline(batch_key, images, masks, out_size=img_size)
+        else:
+            x, y = augment.eval_pipeline(images, masks, out_size=img_size)
+        state, loss, cm = train_step(
+            state, x, y, step_key, cm, num_classes=num_classes
+        )
+        total_loss += loss  # lazy device scalar; no sync
+        n_steps += 1
+        if log_every and (bi + 1) % log_every == 0:
+            print(f"  step {bi+1}: loss={float(loss):.4f}")
+    metrics = {k: float(v) for k, v in derived_metrics(cm).items()}
+    metrics["images_per_sec"] = (
+        n_steps * images.shape[0] / max(time.time() - t0, 1e-9) if n_steps else 0.0
+    )
+    return state, float(total_loss), metrics
+
+
+def evaluate(
+    state,
+    loader,
+    num_classes: int = 2,
+    img_size: int = 256,
+):
+    """Run evaluation. Returns (total_ce_loss, metrics dict)."""
+    cm = ConfusionAccumulator.init(num_classes)
+    total_loss = 0.0
+    for images, masks in loader:
+        x, y = augment.eval_pipeline(images, masks, out_size=img_size)
+        loss, cm = eval_step(state, x, y, cm, num_classes=num_classes)
+        total_loss += loss
+    metrics = {k: float(v) for k, v in derived_metrics(cm).items()}
+    return float(total_loss), metrics
+
+
+def visualize(
+    state,
+    loader,
+    out_dir: str,
+    num_classes: int = 2,
+    img_size: int = 256,
+):
+    """Render argmax predictions as color overlays (reference
+    ``visualization``, train_eval_utils.py:207-221 — but with unique
+    filenames; the reference overwrote one path for every image)."""
+    import os
+
+    import cv2
+
+    os.makedirs(out_dir, exist_ok=True)
+    palette = np.array(
+        [[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]], dtype=np.uint8
+    )
+    idx = 0
+    for images, masks in loader:
+        x, _ = augment.eval_pipeline(images, masks, out_size=img_size)
+        logits = state.apply_fn(
+            {"params": state.params, "batch_stats": state.batch_stats}, x, train=False
+        )
+        preds = np.asarray(jnp.argmax(logits, axis=-1))
+        for img, pred in zip(np.asarray(images), preds):
+            overlay = palette[np.clip(pred, 0, len(palette) - 1)]
+            blend = (0.6 * img + 0.4 * overlay).astype(np.uint8)
+            cv2.imwrite(
+                os.path.join(out_dir, f"pred_{idx:05d}.png"),
+                cv2.cvtColor(blend, cv2.COLOR_RGB2BGR),
+            )
+            idx += 1
+    return idx

@@ -1,0 +1,93 @@
+"""Loss golden-value tests vs torch oracles (CE) and direct formulas (Dice)."""
+
+import numpy as np
+import torch
+
+from lmnet_tpu.losses import (
+    bce_dice_loss,
+    cross_entropy_loss,
+    dice_loss,
+    segmentation_loss,
+)
+
+
+def test_cross_entropy_weighted_smoothed_matches_torch(rng):
+    logits = rng.randn(2, 8, 8, 2).astype(np.float32)
+    labels = rng.randint(0, 2, (2, 8, 8))
+    ours = float(cross_entropy_loss(logits, labels, (1.0, 4.0), 0.001))
+    t_logits = torch.from_numpy(np.transpose(logits, (0, 3, 1, 2)))
+    t_labels = torch.from_numpy(labels).long()
+    ref = torch.nn.CrossEntropyLoss(
+        weight=torch.tensor([1.0, 4.0]), label_smoothing=0.001
+    )(t_logits, t_labels)
+    np.testing.assert_allclose(ours, float(ref), rtol=1e-5)
+
+
+def test_cross_entropy_unweighted_matches_torch(rng):
+    logits = rng.randn(3, 4, 4, 3).astype(np.float32)
+    labels = rng.randint(0, 3, (3, 4, 4))
+    ours = float(cross_entropy_loss(logits, labels))
+    ref = torch.nn.CrossEntropyLoss()(
+        torch.from_numpy(np.transpose(logits, (0, 3, 1, 2))),
+        torch.from_numpy(labels).long(),
+    )
+    np.testing.assert_allclose(ours, float(ref), rtol=1e-5)
+
+
+def _dice_oracle(logits, labels, weight, smooth=1e-5):
+    """Direct transcription of the reference DiceLoss formula
+    (utils/loss.py:183-206): softmax, per-class square-sum dice."""
+    e = np.exp(logits - logits.max(-1, keepdims=True))
+    probs = e / e.sum(-1, keepdims=True)
+    C = logits.shape[-1]
+    loss = 0.0
+    for c in range(C):
+        s = probs[..., c].ravel()
+        t = (labels == c).astype(np.float64).ravel()
+        dice = (2 * (s * t).sum() + smooth) / ((s**2).sum() + (t**2).sum() + smooth)
+        loss += weight[c] * (1 - dice)
+    return loss / C
+
+
+def test_dice_loss_matches_reference_formula(rng):
+    logits = rng.randn(2, 8, 8, 2).astype(np.float32)
+    labels = rng.randint(0, 2, (2, 8, 8))
+    ours = float(dice_loss(logits, labels, (1.0, 4.0)))
+    ref = _dice_oracle(logits.astype(np.float64), labels, [1.0, 4.0])
+    np.testing.assert_allclose(ours, ref, rtol=1e-5)
+
+
+def test_dice_loss_ignore_mask(rng):
+    logits = rng.randn(1, 4, 4, 2).astype(np.float32)
+    labels = rng.randint(0, 2, (1, 4, 4))
+    ignore = np.zeros((1, 4, 4), dtype=np.int32)
+    ignore[0, 0, :] = 1
+    full = float(dice_loss(logits, labels, ignore=ignore))
+    # oracle: zero out ignored pixels in both probs and target
+    keep = ignore == 0
+    l2 = logits.copy()
+    ref_probs = np.exp(l2 - l2.max(-1, keepdims=True))
+    ref_probs /= ref_probs.sum(-1, keepdims=True)
+    loss = 0.0
+    for c in range(2):
+        s = (ref_probs[..., c] * keep).ravel().astype(np.float64)
+        t = ((labels == c) & keep).astype(np.float64).ravel()
+        dice = (2 * (s * t).sum() + 1e-5) / ((s**2).sum() + (t**2).sum() + 1e-5)
+        loss += 1 - dice
+    np.testing.assert_allclose(full, loss / 2, rtol=1e-5)
+
+
+def test_bce_dice_runs(rng):
+    logits = rng.randn(2, 8, 8, 2).astype(np.float32)
+    labels = rng.randint(0, 2, (2, 8, 8))
+    v = float(bce_dice_loss(logits, labels))
+    assert np.isfinite(v) and v > 0
+
+
+def test_segmentation_loss_is_ce_plus_dice(rng):
+    logits = rng.randn(2, 8, 8, 2).astype(np.float32)
+    labels = rng.randint(0, 2, (2, 8, 8))
+    total = float(segmentation_loss(logits, labels))
+    ce = float(cross_entropy_loss(logits, labels, (1.0, 4.0), 0.001))
+    dl = float(dice_loss(logits, labels, (1.0, 4.0)))
+    np.testing.assert_allclose(total, ce + dl, rtol=1e-6)

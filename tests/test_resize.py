@@ -1,0 +1,50 @@
+"""Golden-value tests: resize/pool ops vs torch (CPU) oracles.
+
+The decoder depends on exact `align_corners=True` bilinear semantics
+(reference core/LM_Net.py:58-74) and the bottleneck on torch adaptive
+average pooling (core/modules.py:495-498).
+"""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+from lmnet_tpu.ops.resize import adaptive_avg_pool, bilinear_resize, global_avg_pool
+
+
+def _torch_resize(x_nhwc, size, align):
+    t = torch.from_numpy(np.transpose(x_nhwc, (0, 3, 1, 2)))
+    out = F.interpolate(t, size=size, mode="bilinear", align_corners=align)
+    return np.transpose(out.numpy(), (0, 2, 3, 1))
+
+
+@pytest.mark.parametrize("align", [True, False])
+@pytest.mark.parametrize(
+    "in_hw,out_hw",
+    [((8, 8), (16, 16)), ((16, 12), (8, 6)), ((7, 9), (13, 5)), ((4, 4), (9, 9))],
+)
+def test_bilinear_matches_torch(rng, align, in_hw, out_hw):
+    x = rng.randn(2, *in_hw, 3).astype(np.float32)
+    ours = np.asarray(bilinear_resize(x, out_hw, align_corners=align))
+    ref = _torch_resize(x, out_hw, align)
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize(
+    "in_hw,out_hw",
+    [((16, 16), (4, 4)), ((15, 9), (4, 3)), ((8, 8), (8, 8)), ((10, 10), (3, 7))],
+)
+def test_adaptive_avg_pool_matches_torch(rng, in_hw, out_hw):
+    x = rng.randn(2, *in_hw, 5).astype(np.float32)
+    ours = np.asarray(adaptive_avg_pool(x, out_hw))
+    t = torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))
+    ref = np.transpose(F.adaptive_avg_pool2d(t, out_hw).numpy(), (0, 2, 3, 1))
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_global_avg_pool(rng):
+    x = rng.randn(2, 6, 6, 4).astype(np.float32)
+    ours = np.asarray(global_avg_pool(x))
+    assert ours.shape == (2, 1, 1, 4)
+    np.testing.assert_allclose(ours[:, 0, 0], x.mean(axis=(1, 2)), rtol=1e-6)
