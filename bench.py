@@ -2,10 +2,18 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Protocol: deploy-mode (structurally re-parameterized) LM-Net, bf16 compute,
-batch-size sweep, steady-state timing after warmup — the serving
+Protocol: deploy-mode (structurally re-parameterized) LM-Net with the fused
+Pallas NAT kernel, bf16 compute, batch 64, steady-state timing — the serving
 configuration the north-star targets (BASELINE.json: ">=5x A100 inference
 images/sec/chip on v5e").
+
+Methodology notes:
+  * iterations are CHAINED INSIDE one XLA program (lax.fori_loop with a
+    data dependency) and a single scalar is read back — per-call host
+    round-trips through the remote-TPU tunnel measure ~25 ms and would
+    otherwise dominate;
+  * params are initialized at 64x64 (they are size-independent) to keep
+    the one-off compile small.
 
 ``vs_baseline``: the reference publishes no machine-readable numbers
 (BASELINE.md), so the denominator is a documented estimate of the PyTorch
@@ -20,8 +28,13 @@ import jax
 import jax.numpy as jnp
 
 # Documented assumption (see BASELINE.md): PyTorch LM-Net (4.7M params,
-# NATTEN CUDA, fp16) single-A100 inference estimate at 256x256.
+# NATTEN CUDA op at 256^2 with head_dim 1-8, fp16) single-A100 inference
+# estimate at 256x256.
 A100_EST_IMG_S = 1500.0
+
+BATCH = 64
+ITERS = 10
+REPS = 3
 
 
 def main():
@@ -30,36 +43,42 @@ def main():
 
     from lmnet_tpu.models import LMNet, structural_reparam
 
-    rng = jax.random.key(0)
     train_model = LMNet(num_classes=2)
-    x0 = jnp.zeros((1, 256, 256, 3), jnp.float32)
-    variables = jax.jit(lambda k: train_model.init(k, x0, train=False))(rng)
+    variables = jax.jit(
+        lambda k: train_model.init(k, jnp.zeros((1, 64, 64, 3)), train=False)
+    )(jax.random.key(0))
     deploy_vars = structural_reparam(variables)
     model = LMNet(num_classes=2, deploy=True, dtype=jnp.bfloat16)
 
-    @jax.jit
-    def forward(v, x):
-        return model.apply(v, x, train=False)
+    # tunnel round-trip estimate
+    f0 = jax.jit(lambda z: z + 1.0)
+    float(f0(jnp.zeros(())))
+    t0 = time.perf_counter()
+    for _ in range(10):
+        float(f0(jnp.zeros(())))
+    rtt = (time.perf_counter() - t0) / 10
 
+    x = jnp.ones((BATCH, 256, 256, 3), jnp.bfloat16)
+
+    def chain(x):
+        def body(i, acc):
+            y = model.apply(deploy_vars, x + acc.astype(x.dtype) * 1e-20, train=False)
+            return acc + jnp.sum(y)
+
+        return jax.lax.fori_loop(0, ITERS, body, jnp.zeros(()))
+
+    g = jax.jit(chain)
+    float(g(x))  # compile + warm
     best = 0.0
-    best_bs = 0
-    for bs in (32, 64, 128):
-        x = jnp.zeros((bs, 256, 256, 3), jnp.bfloat16)
-        y = forward(deploy_vars, x)
-        y.block_until_ready()  # compile + warmup
-        iters = 20
+    for _ in range(REPS):
         t0 = time.perf_counter()
-        for _ in range(iters):
-            y = forward(deploy_vars, x)
-        y.block_until_ready()
-        dt = time.perf_counter() - t0
-        ips = bs * iters / dt
-        if ips > best:
-            best, best_bs = ips, bs
+        float(g(x))
+        dt = (time.perf_counter() - t0 - rtt) / ITERS
+        best = max(best, BATCH / dt)
     print(
         json.dumps(
             {
-                "metric": f"inference images/sec/chip @256x256 bf16 (batch {best_bs}, deploy-fused)",
+                "metric": "inference images/sec/chip @256x256 bf16 (batch 64, deploy-fused, Pallas NAT)",
                 "value": round(best, 1),
                 "unit": "img/s",
                 "vs_baseline": round(best / A100_EST_IMG_S, 3),

@@ -388,12 +388,17 @@ class M2Skip(nn.Module):
 class NeighborhoodAttention2D(nn.Module):
     """NAT layer with qkv/proj linears + relative position bias — the module
     face of ``ops.nat.neighborhood_attention`` (replaces the NATTEN CUDA op,
-    reference core/modules.py:18,509)."""
+    reference core/modules.py:18,509).
+
+    ``backend``: 'auto' (fused Pallas kernel on TPU, XLA formulation
+    elsewhere), 'pallas', or 'xla'.
+    """
 
     dim: int
     num_heads: int
     kernel_size: int = 3
     dtype: Dtype = None
+    backend: str = "auto"
 
     @nn.compact
     def __call__(self, x):  # NHWC
@@ -405,7 +410,17 @@ class NeighborhoodAttention2D(nn.Module):
             trunc_normal_init,
             (self.num_heads, 2 * self.kernel_size - 1, 2 * self.kernel_size - 1),
         )
-        out = neighborhood_attention(q, k, v, rpb, self.kernel_size)
+        backend = self.backend
+        if backend == "auto":
+            backend = "pallas" if (
+                jax.default_backend() == "tpu" and self.kernel_size == 3
+            ) else "xla"
+        if backend == "pallas":
+            from lmnet_tpu.ops.pallas.nat_kernel import neighborhood_attention_pallas
+
+            out = neighborhood_attention_pallas(q, k, v, rpb, self.kernel_size)
+        else:
+            out = neighborhood_attention(q, k, v, rpb, self.kernel_size)
         return TorchDense(C, dtype=self.dtype, name="proj")(out)
 
 
@@ -418,13 +433,15 @@ class NeighborhoodTransformer(nn.Module):
     kernel_size: int = 3
     patch_size: int = 3
     dtype: Dtype = None
+    nat_backend: str = "auto"
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         emb = OverlapPatchEmbed(self.dim, self.patch_size, 1, self.dtype, name="embed")(x)
         ln1 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(emb)
         att = NeighborhoodAttention2D(
-            self.dim, self.num_heads, self.kernel_size, self.dtype, name="attn"
+            self.dim, self.num_heads, self.kernel_size, self.dtype,
+            backend=self.nat_backend, name="attn",
         )(ln1) + emb
         ln2 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(att)
         return Mlp(2 * self.dim, self.dim, dtype=self.dtype, name="mlp")(

@@ -53,6 +53,7 @@ class LMNet(nn.Module):
     deploy: bool = False
     num_heads: int = 12
     dtype: Any = None
+    nat_backend: str = "auto"  # 'auto' | 'pallas' | 'xla' (see blocks.NeighborhoodAttention2D)
 
     @nn.compact
     def __call__(self, x, train: bool = False, deterministic: bool | None = None):
@@ -99,10 +100,10 @@ class LMNet(nn.Module):
         s3 = M3Skip((f[0], f[1], f[2]), dtype=dt, name="skip3")(x1, x2, x3, train)
         s4 = M2Skip((f[0], f[1]), "top", dtype=dt, name="skip4")(x1, x2, train)
 
-        x46 = NeighborhoodTransformer(f[3], self.num_heads, dtype=dt, name="natt1")(s1, det)
-        x37 = NeighborhoodTransformer(f[2], self.num_heads, dtype=dt, name="natt2")(s2, det)
-        x28 = NeighborhoodTransformer(f[1], self.num_heads, dtype=dt, name="natt3")(s3, det)
-        x19 = NeighborhoodTransformer(f[0], self.num_heads, dtype=dt, name="natt4")(s4, det)
+        x46 = NeighborhoodTransformer(f[3], self.num_heads, dtype=dt, nat_backend=self.nat_backend, name="natt1")(s1, det)
+        x37 = NeighborhoodTransformer(f[2], self.num_heads, dtype=dt, nat_backend=self.nat_backend, name="natt2")(s2, det)
+        x28 = NeighborhoodTransformer(f[1], self.num_heads, dtype=dt, nat_backend=self.nat_backend, name="natt3")(s3, det)
+        x19 = NeighborhoodTransformer(f[0], self.num_heads, dtype=dt, nat_backend=self.nat_backend, name="natt4")(s4, det)
 
         # --- decoder ----------------------------------------------------
         x6 = up("up1", f[3], x5) + x46

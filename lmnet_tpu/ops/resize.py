@@ -1,101 +1,75 @@
-"""Resampling ops with exact PyTorch numerics, formulated as matmuls for the MXU.
+"""Resampling ops with exact PyTorch numerics, TPU-efficient.
 
 The reference decoder upsamples with ``nn.Upsample(mode='bilinear',
 align_corners=True)`` (reference ``core/LM_Net.py:58-74``) and the bottleneck
 pools with ``adaptive_avg_pool2d`` (reference ``core/modules.py:495-498``).
-Both are *separable* linear maps over rows and columns, so instead of gathers
-(slow on TPU) we build 1-D interpolation/pooling matrices once per shape and
-apply them as two dense matmuls -- this runs on the MXU and fuses cleanly
-under XLA.
 
-All ops take NHWC (TPU-native layout).
+Implementations (all NHWC, all bit-matching torch's source-coordinate
+formulas):
+  * bilinear resize = separable 2-tap lerp per axis: gather the two
+    contributing rows/cols (compile-time constant indices) and blend with
+    per-position weights.  O(N) traffic and FLOPs — a dense interpolation-
+    matrix matmul formulation measured 25 ms for one 128->256 upsample on
+    v5e; this path is <1 ms.
+  * adaptive average pooling = ``lax.reduce_window`` mean when the input is
+    divisible by the output (every LM-Net case), falling back to an exact
+    region-matrix matmul otherwise (torch's floor/ceil region semantics).
 """
 
 from __future__ import annotations
 
 import functools
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 
 @functools.lru_cache(maxsize=None)
-def _bilinear_matrix(in_size: int, out_size: int, align_corners: bool) -> np.ndarray:
-    """(out_size, in_size) row-interpolation matrix matching torch bilinear.
+def _lerp_coeffs(in_size: int, out_size: int, align_corners: bool):
+    """(lo_idx, hi_idx, frac) arrays for 1-D bilinear, torch semantics.
 
-    Source coordinate per torch's upsampling kernels:
-      align_corners=True : src = i * (in-1) / (out-1)
-      align_corners=False: src = (i + 0.5) * in/out - 0.5   (clamped to >= 0)
+    align_corners=True : src = i * (in-1) / (out-1)
+    align_corners=False: src = (i + 0.5) * in/out - 0.5, clamped to >= 0
     """
-    m = np.zeros((out_size, in_size), dtype=np.float64)
     if out_size == 1:
-        # torch maps the single output to src 0 when align_corners else center.
         if align_corners or in_size == 1:
-            m[0, 0] = 1.0
-            return m.astype(np.float32)
-        src = np.array([0.5 * in_size - 0.5])
+            src = np.array([0.0])
+        else:
+            src = np.array([0.5 * in_size - 0.5])
     elif align_corners:
         src = np.arange(out_size) * (in_size - 1) / (out_size - 1)
     else:
         src = (np.arange(out_size) + 0.5) * in_size / out_size - 0.5
         src = np.maximum(src, 0.0)
-    lo = np.floor(src).astype(np.int64)
-    lo = np.clip(lo, 0, in_size - 1)
+    lo = np.clip(np.floor(src).astype(np.int64), 0, in_size - 1)
     hi = np.clip(lo + 1, 0, in_size - 1)
-    frac = src - lo
-    m[np.arange(out_size), lo] += 1.0 - frac
-    m[np.arange(out_size), hi] += frac
-    return m.astype(np.float32)
+    frac = (src - lo).astype(np.float32)
+    return lo, hi, frac
 
 
-@functools.lru_cache(maxsize=None)
-def _adaptive_pool_matrix(in_size: int, out_size: int) -> np.ndarray:
-    """(out_size, in_size) averaging matrix matching torch adaptive_avg_pool.
-
-    torch regions: start = floor(i*in/out), end = ceil((i+1)*in/out).
-    """
-    m = np.zeros((out_size, in_size), dtype=np.float64)
-    for i in range(out_size):
-        start = (i * in_size) // out_size
-        end = -((-(i + 1) * in_size) // out_size)  # ceil
-        m[i, start:end] = 1.0 / (end - start)
-    return m.astype(np.float32)
-
-
-def _apply_separable(x: jnp.ndarray, mh: np.ndarray, mw: np.ndarray) -> jnp.ndarray:
-    """Apply row matrix mh (H'->H) and col matrix mw (W'->W) to NHWC x.
-
-    HIGHEST precision: interpolation weights must not round to bf16 on the
-    MXU (torch-parity), and these matmuls are tiny next to the conv stack.
-    """
-    import jax
-
-    mh = jnp.asarray(mh, dtype=x.dtype)
-    mw = jnp.asarray(mw, dtype=x.dtype)
-    p = jax.lax.Precision.HIGHEST
-    # (B,H,W,C) -> (B,H',W,C) -> (B,H',W',C)
-    x = jnp.einsum("bhwc,oh->bowc", x, mh, optimize=True, precision=p)
-    x = jnp.einsum("bhwc,ow->bhoc", x, mw, optimize=True, precision=p)
-    return x
+def _resize_axis(x: jnp.ndarray, axis: int, out_size: int, align: bool) -> jnp.ndarray:
+    in_size = x.shape[axis]
+    if in_size == out_size:
+        return x
+    lo, hi, frac = _lerp_coeffs(in_size, out_size, align)
+    xl = jnp.take(x, jnp.asarray(lo), axis=axis)
+    xh = jnp.take(x, jnp.asarray(hi), axis=axis)
+    shape = [1] * x.ndim
+    shape[axis] = out_size
+    w = jnp.asarray(frac, dtype=x.dtype).reshape(shape)
+    return xl * (1 - w) + xh * w
 
 
 def bilinear_resize(
     x: jnp.ndarray, out_hw: tuple[int, int], align_corners: bool = True
 ) -> jnp.ndarray:
-    """Bilinear resize of NHWC ``x`` to ``out_hw`` with torch numerics.
-
-    Matches ``F.interpolate(x, size=out_hw, mode='bilinear',
-    align_corners=...)`` bit-for-bit up to float association order.
-    """
-    b, h, w, c = x.shape
+    """Bilinear resize of NHWC ``x`` to ``out_hw``, matching
+    ``F.interpolate(mode='bilinear', align_corners=...)``."""
     oh, ow = out_hw
-    if (oh, ow) == (h, w):
-        return x
-    return _apply_separable(
-        x,
-        _bilinear_matrix(h, oh, align_corners),
-        _bilinear_matrix(w, ow, align_corners),
-    )
+    x = _resize_axis(x, 1, oh, align_corners)
+    x = _resize_axis(x, 2, ow, align_corners)
+    return x
 
 
 def upsample2x_align_corners(x: jnp.ndarray) -> jnp.ndarray:
@@ -104,15 +78,41 @@ def upsample2x_align_corners(x: jnp.ndarray) -> jnp.ndarray:
     return bilinear_resize(x, (2 * h, 2 * w), align_corners=True)
 
 
+@functools.lru_cache(maxsize=None)
+def _adaptive_pool_matrix(in_size: int, out_size: int) -> np.ndarray:
+    """(out_size, in_size) averaging matrix matching torch adaptive_avg_pool:
+    start = floor(i*in/out), end = ceil((i+1)*in/out)."""
+    m = np.zeros((out_size, in_size), dtype=np.float64)
+    for i in range(out_size):
+        start = (i * in_size) // out_size
+        end = -((-(i + 1) * in_size) // out_size)  # ceil
+        m[i, start:end] = 1.0 / (end - start)
+    return m.astype(np.float32)
+
+
 def adaptive_avg_pool(x: jnp.ndarray, out_hw: tuple[int, int]) -> jnp.ndarray:
     """`F.adaptive_avg_pool2d` on NHWC ``x`` (exact torch region semantics)."""
     b, h, w, c = x.shape
     oh, ow = out_hw
     if (oh, ow) == (h, w):
         return x
-    return _apply_separable(
-        x, _adaptive_pool_matrix(h, oh), _adaptive_pool_matrix(w, ow)
-    )
+    if h % oh == 0 and w % ow == 0:
+        kh, kw = h // oh, w // ow
+        summed = jax.lax.reduce_window(
+            x,
+            jnp.zeros((), x.dtype),
+            jax.lax.add,
+            window_dimensions=(1, kh, kw, 1),
+            window_strides=(1, kh, kw, 1),
+            padding="VALID",
+        )
+        return summed / jnp.asarray(kh * kw, x.dtype)
+    # non-divisible: exact region-matrix path (rare; small sizes)
+    p = jax.lax.Precision.HIGHEST
+    mh = jnp.asarray(_adaptive_pool_matrix(h, oh), x.dtype)
+    mw = jnp.asarray(_adaptive_pool_matrix(w, ow), x.dtype)
+    x = jnp.einsum("bhwc,oh->bowc", x, mh, optimize=True, precision=p)
+    return jnp.einsum("bhwc,ow->bhoc", x, mw, optimize=True, precision=p)
 
 
 def global_avg_pool(x: jnp.ndarray, keepdims: bool = True) -> jnp.ndarray:

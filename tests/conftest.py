@@ -18,6 +18,14 @@ if "host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The container's sitecustomize imports jax at interpreter startup (axon TPU
+# plugin), so env vars alone are too late: force the platform via config and
+# re-initialize backends so XLA_FLAGS (8 virtual CPU devices) takes effect.
+jax.config.update("jax_platforms", "cpu")
+import jax.extend.backend as _jb  # noqa: E402
+
+_jb.clear_backends()
+
 jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 

@@ -19,8 +19,10 @@ def _synthetic_batch(rng, b=2, hw=TINY_HW):
     return x, y
 
 
-@pytest.fixture(scope="module")
+@pytest.fixture()
 def state():
+    # function-scoped: train_step donates its input state, so a shared
+    # fixture would hand later tests deleted buffers.
     model = LMNet(**TINY)
     return create_train_state(
         model, jax.random.key(0), (2, TINY_HW, TINY_HW, 3),
