@@ -97,16 +97,12 @@ def adaptive_avg_pool(x: jnp.ndarray, out_hw: tuple[int, int]) -> jnp.ndarray:
     if (oh, ow) == (h, w):
         return x
     if h % oh == 0 and w % ow == 0:
+        # reshape-mean (not reduce_window: its transpose rule fails to
+        # linearize under SPMD-sharded autodiff as of jax 0.9)
         kh, kw = h // oh, w // ow
-        summed = jax.lax.reduce_window(
-            x,
-            jnp.zeros((), x.dtype),
-            jax.lax.add,
-            window_dimensions=(1, kh, kw, 1),
-            window_strides=(1, kh, kw, 1),
-            padding="VALID",
+        return jnp.mean(
+            x.reshape(b, oh, kh, ow, kw, c), axis=(2, 4)
         )
-        return summed / jnp.asarray(kh * kw, x.dtype)
     # non-divisible: exact region-matrix path (rare; small sizes)
     p = jax.lax.Precision.HIGHEST
     mh = jnp.asarray(_adaptive_pool_matrix(h, oh), x.dtype)

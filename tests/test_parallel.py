@@ -32,6 +32,8 @@ def setup():
 
 
 def _run_step(state, images, labels, mesh=None, spatial=False):
+    # train_step donates its input state; copy so the shared fixture survives
+    state = jax.tree.map(jnp.array, state)
     cm = ConfusionAccumulator.init(2)
     if mesh is not None:
         state = replicate(mesh, state)
