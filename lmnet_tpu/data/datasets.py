@@ -44,6 +44,7 @@ class SegmentationDataset:
     img_size: int = 256
     load_size: int | None = None  # decode size for train mode
     root: str | None = None  # optional prefix for relative manifest paths
+    mask_mode: str = "binary"  # 'binary' (>127 threshold) | 'index' (VOC-style class ids)
 
     @classmethod
     def from_csv(cls, csv_path: str, mode: str, **kw) -> "SegmentationDataset":
@@ -74,7 +75,10 @@ class SegmentationDataset:
         row = self.df.iloc[idx]
         img = _imread(self._resolve(row, "images"))
         mask = _imread(self._resolve(row, "masks"), gray=True)
-        mask = (mask > 127).astype(np.uint8)
+        if self.mask_mode == "binary":
+            mask = (mask > 127).astype(np.uint8)
+        else:  # 'index': mask already holds class ids (e.g. VOC)
+            mask = mask.astype(np.uint8)
         size = self.load_size if self.mode == "train" else self.img_size
         img = cv2.resize(img, (size, size), interpolation=cv2.INTER_LINEAR)
         mask = cv2.resize(mask, (size, size), interpolation=cv2.INTER_NEAREST)

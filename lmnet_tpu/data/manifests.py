@@ -126,6 +126,34 @@ def create_cvc_manifest(data_dir: str, out_dir: str | None = None, seed: int = 4
     return train, val
 
 
+def create_voc_manifest(voc_root: str, out_dir: str | None = None):
+    """Pascal VOC2012 segmentation lists (reference My_VOC,
+    data_loading.py:328-341): JPEGImages/ + SegmentationClass/ paired via
+    ImageSets/Segmentation/{train,val}.txt. Masks are class-index PNGs —
+    use ``SegmentationDataset(..., mask_mode='index')``."""
+    dfs = {}
+    for split in ("train", "val"):
+        lst = os.path.join(voc_root, "ImageSets", "Segmentation", f"{split}.txt")
+        with open(lst) as f:
+            names = [ln.strip() for ln in f if ln.strip()]
+        df = pd.DataFrame(
+            {
+                "images": [
+                    os.path.join(voc_root, "JPEGImages", n + ".jpg") for n in names
+                ],
+                "masks": [
+                    os.path.join(voc_root, "SegmentationClass", n + ".png")
+                    for n in names
+                ],
+            }
+        )
+        dfs[split] = df
+        if out_dir:
+            os.makedirs(out_dir, exist_ok=True)
+            df.to_csv(os.path.join(out_dir, f"{split}_VOC2012_0.csv"), index=False)
+    return dfs["train"], dfs["val"]
+
+
 def create_thyroid_manifest(data_dir: str, out_dir: str | None = None, seed: int = 42):
     """Thyroid: image/ dir paired with mask/ dir by filename; 80/20 split."""
     images, masks = [], []

@@ -1,0 +1,84 @@
+"""Process-level distributed helpers — API parity with the reference's
+``utils/distributed_utils.py`` (:7-70), expressed the JAX way.
+
+The reference scaffolds torch.distributed/NCCL (init_process_group, barrier,
+all_reduce mean) but never wires it in (SURVEY §2.15).  On TPU there is no
+init dance: multi-host JAX programs call ``jax.distributed.initialize`` once
+and collectives are compiled into the jitted step (a mean over a sharded
+batch axis IS the global mean).  These helpers keep the reference's call
+sites working:
+
+  init_distributed_mode  -> initialize multi-host JAX (env-driven, no-op on
+                            single host)
+  cleanup                -> jax.distributed.shutdown
+  get_world_size/rank    -> process_count/process_index
+  is_main_process        -> gates checkpoint/CSV writes
+  reduce_value           -> psum/pmean across all devices (for host-driven
+                            reductions outside a jitted step)
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+
+
+def init_distributed_mode(coordinator_address: str | None = None) -> None:
+    """Multi-host initialization (reference :7-28, minus the NCCL dance).
+
+    Reads the standard cluster env (or the explicit coordinator address);
+    silently a no-op for single-process runs, like the reference's
+    'Not using distributed mode' branch.
+    """
+    if coordinator_address is None and "JAX_COORDINATOR_ADDRESS" not in os.environ:
+        return
+    try:
+        jax.distributed.initialize(coordinator_address=coordinator_address)
+    except RuntimeError:
+        pass  # already initialized
+
+
+def cleanup() -> None:
+    """reference :31-32 (destroy_process_group)."""
+    try:
+        jax.distributed.shutdown()
+    except Exception:
+        pass
+
+
+def is_dist_avail_and_initialized() -> bool:
+    """reference :35-41."""
+    return jax.process_count() > 1
+
+
+def get_world_size() -> int:
+    """reference :44-47."""
+    return jax.process_count()
+
+
+def get_rank() -> int:
+    """reference :50-53."""
+    return jax.process_index()
+
+
+def is_main_process() -> bool:
+    """reference :56-57 — gate for checkpoint/CSV IO."""
+    return jax.process_index() == 0
+
+
+def reduce_value(value, average: bool = True):
+    """All-reduce a per-process value across processes (reference :60-70).
+
+    Inside a jitted step you never need this (XLA inserts the collective);
+    this is the host-driven equivalent for ad-hoc reductions, e.g. averaging
+    a per-host epoch loss before logging.
+    """
+    if jax.process_count() < 2:
+        return value
+    from jax.experimental import multihost_utils
+
+    gathered = multihost_utils.process_allgather(jnp.asarray(value))
+    total = jnp.sum(gathered, axis=0)
+    return total / jax.process_count() if average else total
