@@ -1,0 +1,190 @@
+"""Serving engine: the LM-Net deploy forward as a pure function over raw
+variables, with every ReparamConv block running through the fused two-phase
+Pallas kernel (``ops/pallas/rc_kernel.py``) and NAT through the fused NAT
+kernel.
+
+This is the inference path for production deployment: take the training
+checkpoint, ``structural_reparam`` it, and call ``deploy_forward`` — no Flax
+module interpretation, maximal kernel fusion.  Equivalence with
+``LMNet(deploy=True).apply`` is pinned by tests/test_serve.py.
+
+Graph parity: reference ``core/LM_Net.py:95-123`` (see models/lm_net.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from lmnet_tpu.models.blocks import gelu
+from lmnet_tpu.ops.nat import neighborhood_attention
+from lmnet_tpu.ops.pallas.nat_kernel import neighborhood_attention_pallas
+from lmnet_tpu.ops.pallas.rc_kernel import fold_rc_weights, fused_reparam_conv
+from lmnet_tpu.ops.resize import adaptive_avg_pool, upsample2x_align_corners
+
+BN_EPS = 1e-5
+LN_EPS = 1e-5
+
+
+def _conv(p, x, stride: int = 1):
+    """NHWC conv from a TorchConv param subtree (torch k//2 padding)."""
+    k = p["conv"]["kernel"]
+    kh, kw = k.shape[0], k.shape[1]
+    out = jax.lax.conv_general_dilated(
+        x, k.astype(x.dtype), (stride, stride),
+        [(kh // 2, kh // 2), (kw // 2, kw // 2)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return out + p["conv"]["bias"].astype(x.dtype)
+
+
+def _bn(p, s, x):
+    inv = p["scale"] / jnp.sqrt(s["var"] + BN_EPS)
+    return x * inv.astype(x.dtype) + (p["bias"] - s["mean"] * inv).astype(x.dtype)
+
+
+def _ln(p, x):
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
+    y = (x - mu) * jax.lax.rsqrt(var + LN_EPS)
+    return y * p["scale"].astype(x.dtype) + p["bias"].astype(x.dtype)
+
+
+def _dense(p, x):
+    return x @ p["dense"]["kernel"].astype(x.dtype) + p["dense"]["bias"].astype(x.dtype)
+
+
+def _mlp(p, x):
+    return _dense(p["fc2"], gelu(_dense(p["fc1"], x)))
+
+
+def _m2skip(p, s, xl, xs, mode):
+    if mode == "bottom":
+        a = _conv(p["convl"], xl, 2)
+        b = _conv(p["convs"], xs)
+    else:
+        a = _conv(p["convl"], xl)
+        b = _conv(p["convs"], upsample2x_align_corners(xs))
+    x = jnp.concatenate([a, b], axis=-1)
+    return gelu(_bn(p["fuse_bn"], s["fuse_bn"], _conv(p["fuse_conv"], x)))
+
+
+def _m3skip(p, s, xl, xm, xs):
+    a = _conv(p["convl"], xl, 2)
+    b = _conv(p["convm"], xm)
+    c = _conv(p["convs"], upsample2x_align_corners(xs))
+    x = jnp.concatenate([a, b, c], axis=-1)
+    return gelu(_bn(p["fuse_bn"], s["fuse_bn"], _conv(p["fuse_conv"], x)))
+
+
+def _global_attention(p, x, num_heads):
+    B, N, C = x.shape
+    qkv = x @ p["qkv"]["kernel"].astype(x.dtype) + p["qkv"]["bias"].astype(x.dtype)
+    qkv = qkv.reshape(B, N, 3, num_heads, C // num_heads)
+    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+    attn = jax.nn.softmax(
+        jnp.einsum("bnhd,bmhd->bhnm", q * (C // num_heads) ** -0.5, k), axis=-1
+    )
+    out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(B, N, C)
+    return out @ p["proj"]["kernel"].astype(x.dtype) + p["proj"]["bias"].astype(x.dtype)
+
+
+def _gft(p, x, num_heads):
+    B, H, W, C = x.shape
+    emb = _conv(p["embed"]["proj"], x).reshape(B, H * W, -1)
+    att = _global_attention(p["attn"], _ln(p["norm1"], emb), num_heads) + emb
+    out = _mlp(p["mlp"], _ln(p["norm2"], att)) + att
+    return _conv(p["out_conv"], out.reshape(B, H, W, -1))
+
+
+def _natt(p, x, num_heads, nat_backend):
+    emb = _conv(p["embed"]["proj"], x)
+    ln1 = _ln(p["norm1"], emb)
+    qkv = _dense(p["attn"]["qkv"], ln1)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    rpb = p["attn"]["rpb"]
+    nat = (
+        neighborhood_attention_pallas(q, k, v, rpb, 3)
+        if nat_backend == "pallas"
+        else neighborhood_attention(q, k, v, rpb, 3)
+    )
+    att = _dense(p["attn"]["proj"], nat) + emb
+    return _mlp(p["mlp"], _ln(p["norm2"], att)) + att
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_heads", "nat_backend", "rc_backend", "interpret"),
+)
+def deploy_forward(
+    variables: dict,
+    x: jnp.ndarray,
+    num_heads: int = 12,
+    nat_backend: str = "pallas",
+    rc_backend: str = "pallas",
+    interpret: bool = False,  # Pallas interpreter mode (CPU testing)
+):
+    """Fused deploy-mode forward. ``variables`` = structural_reparam output."""
+    p = variables["params"]
+    s = variables["batch_stats"]
+
+    def rc(name, h):
+        if rc_backend == "pallas":
+            return fused_reparam_conv(
+                h, fold_rc_weights(p[name], s[name]), interpret=interpret
+            ).astype(h.dtype)
+        # xla fallback mirrors models/blocks.py::ReparamConv deploy math
+        blk, bst = p[name], s[name]
+        e = jax.nn.hard_swish(
+            _bn(blk["expand_bn"], bst["expand_bn"], _conv(blk["expand_conv"], h))
+        )
+        kd = blk["fuse_conv"]["conv"]["kernel"]
+        t = jax.lax.conv_general_dilated(
+            e, kd.astype(e.dtype), (1, 1), [(2, 2), (2, 2)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=e.shape[-1],
+        ) + blk["fuse_conv"]["conv"]["bias"].astype(e.dtype)
+        t = gelu(t)
+        se = blk["se"]  # SE fc1/fc2 are plain nn.Conv 1x1 (kernel (1,1,Cin,Cout))
+        m = jnp.mean(t, axis=(1, 2), keepdims=True)
+        m = jax.nn.relu(m @ se["fc1"]["kernel"][0, 0] + se["fc1"]["bias"])
+        sc = jax.nn.hard_sigmoid(m @ se["fc2"]["kernel"][0, 0] + se["fc2"]["bias"])
+        t = t * sc
+        return _conv(blk["pointwise_conv"], t) + _conv(blk["shortcut"], h)
+
+    x1 = rc("conv1_1", rc("conv1_0", x))
+    xd1 = _conv(p["down1"], x1, 2)
+    x2 = rc("conv2_1", rc("conv2_0", xd1))
+    xd2 = _conv(p["down2"], x2, 2)
+    x3 = rc("conv3_1", rc("conv3_0", xd2))
+    xd3 = _conv(p["down3"], x3, 2)
+    x4 = rc("conv4_1", rc("conv4_0", xd3))
+    xd4 = _conv(p["down4"], x4, 2)
+
+    h, w = xd4.shape[1], xd4.shape[2]
+    pooled = jnp.concatenate(
+        [adaptive_avg_pool(t, (h, w)) for t in (x1, x2, x3, x4)] + [xd4], axis=-1
+    )
+    x5 = _gft(p["gft"], pooled, num_heads)
+
+    s1 = _m2skip(p["skip1"], s["skip1"], x3, x4, "bottom")
+    s2 = _m3skip(p["skip2"], s["skip2"], x2, x3, x4)
+    s3 = _m3skip(p["skip3"], s["skip3"], x1, x2, x3)
+    s4 = _m2skip(p["skip4"], s["skip4"], x1, x2, "top")
+
+    x46 = _natt(p["natt1"], s1, num_heads, nat_backend)
+    x37 = _natt(p["natt2"], s2, num_heads, nat_backend)
+    x28 = _natt(p["natt3"], s3, num_heads, nat_backend)
+    x19 = _natt(p["natt4"], s4, num_heads, nat_backend)
+
+    def up(name, h_):
+        return _conv(p[name], upsample2x_align_corners(h_))
+
+    x6 = rc("dconv1_1", rc("dconv1_0", up("up1", x5) + x46))
+    x7 = rc("dconv2_1", rc("dconv2_0", up("up2", x6) + x37))
+    x8 = rc("dconv3_1", rc("dconv3_0", up("up3", x7) + x28))
+    x9 = rc("dconv4_1", rc("dconv4_0", up("up4", x8) + x19))
+
+    return _conv(p["output_layer"], x9).astype(jnp.float32)
