@@ -60,15 +60,35 @@ def evaluate(
     loader,
     num_classes: int = 2,
     img_size: int = 256,
+    compute_hd95: bool = False,
 ):
-    """Run evaluation. Returns (total_ce_loss, metrics dict)."""
+    """Run evaluation. Returns (total_ce_loss, metrics dict).
+
+    ``compute_hd95``: also report the 95th-percentile Hausdorff distance
+    (host-side; the reference names hd95 but never wires it — SURVEY §2.11).
+    """
+    from lmnet_tpu.metrics.hd95 import hausdorff_distance_95
+
     cm = ConfusionAccumulator.init(num_classes)
     total_loss = 0.0
+    hd_vals: list[float] = []
     for images, masks in loader:
         x, y = augment.eval_pipeline(images, masks, out_size=img_size)
         loss, cm = eval_step(state, x, y, cm, num_classes=num_classes)
         total_loss += loss
+        if compute_hd95:
+            logits = state.apply_fn(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                x, train=False,
+            )
+            preds = np.asarray(jnp.argmax(logits, axis=-1))
+            for p, t in zip(preds, np.asarray(y)):
+                v = hausdorff_distance_95(p == 1, t == 1)
+                if not np.isnan(v):
+                    hd_vals.append(v)
     metrics = {k: float(v) for k, v in derived_metrics(cm).items()}
+    if compute_hd95:
+        metrics["hd95"] = float(np.mean(hd_vals)) if hd_vals else float("nan")
     return float(total_loss), metrics
 
 
