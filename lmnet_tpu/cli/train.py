@@ -135,11 +135,10 @@ def main_single(fold: int, args) -> dict:
         epochs=args.epochs,
         steps_per_epoch=steps_per_epoch,
     )
+    # params are input-size independent; a small init keeps the one-off
+    # init compile cheap (the train step compiles at the real size)
     state = create_train_state(
-        model,
-        jax.random.key(args.seed),
-        (args.batch_size, args.img_size, args.img_size, 3),
-        tx=tx,
+        model, jax.random.key(args.seed), (1, 64, 64, 3), tx=tx
     )
 
     tag = f"{args.model}{args.dataset}"

@@ -26,6 +26,21 @@ def test_dataset_choices():
         assert p.parse_args(["--dataset", name]).dataset == name
 
 
+def test_plot_mode(tmp_path):
+    import csv
+
+    from lmnet_tpu.cli.train import plot_curves
+
+    out = tmp_path / "LM_NetKvasir_0.csv"
+    with open(out, "w", newline="") as f:
+        w = csv.writer(f)
+        for e in range(3):
+            w.writerow([f"{0.1 * e:.4f}"] * 16)
+    args = build_parser().parse_args(["--out_dir", str(tmp_path)])
+    plot_curves(args)
+    assert (tmp_path / "mdice_curves.png").exists()
+
+
 def test_manifest_naming():
     a = build_parser().parse_args(["--manifest_dir", "m"])
     assert _manifest(a, "train", 3).endswith("train_Kvasir_3.csv")
