@@ -66,6 +66,28 @@ def test_step_counter_and_lr_schedule(state, rng):
     assert 1e-6 < mid < 1e-3
 
 
+def test_multiclass_training(rng):
+    # VOC-style multiclass: 3 classes end-to-end through loss + metrics
+    cfg = dict(TINY)
+    cfg["num_classes"] = 3
+    model = LMNet(**cfg)
+    s = create_train_state(
+        model, jax.random.key(0), (2, TINY_HW, TINY_HW, 3),
+        epochs=5, steps_per_epoch=2,
+    )
+    x = jnp.asarray(rng.randn(2, TINY_HW, TINY_HW, 3), jnp.float32)
+    y = jnp.asarray(rng.randint(0, 3, (2, TINY_HW, TINY_HW)), jnp.int32)
+    cm = ConfusionAccumulator.init(3)
+    s, loss, cm = train_step(
+        s, x, y, jax.random.key(1), cm,
+        num_classes=3, ce_weight=None, dice_weight=None,
+    )
+    assert np.isfinite(float(loss))
+    assert cm.shape == (3, 3)
+    m = derived_metrics(cm)
+    assert 0.0 <= float(m["mean_iou"]) <= 1.0
+
+
 def test_checkpoint_roundtrip(tmp_path, state, rng):
     from lmnet_tpu.train import checkpoint as ckpt
 
