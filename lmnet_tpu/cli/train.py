@@ -35,6 +35,22 @@ def set_seed(seed: int = 42) -> None:
     np.random.seed(seed)
 
 
+def str2bool(v) -> bool:
+    """Boolean flag parser: '--k_fold False' really means False.
+
+    The reference uses argparse ``type=bool`` (train.py:252,264-266,280),
+    under which every non-empty string — including "False" — parses True;
+    this rebuild's policy is to fix reference defects (SURVEY Appendix A).
+    """
+    if isinstance(v, bool):
+        return v
+    if v.lower() in ("true", "t", "yes", "y", "1"):
+        return True
+    if v.lower() in ("false", "f", "no", "n", "0"):
+        return False
+    raise argparse.ArgumentTypeError(f"boolean value expected, got {v!r}")
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="LM-Net TPU training")
     p.add_argument("--num_classes", type=int, default=2)
@@ -42,7 +58,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch_size", type=int, default=2)
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--weight_decay", type=float, default=1e-4)
-    p.add_argument("--syncBN", type=bool, default=True,
+    p.add_argument("--syncBN", type=str2bool, default=True,
                    help="cross-device BN stats; automatic under a sharded batch")
     p.add_argument("--smoothing", type=float, default=0.001)
     p.add_argument("--num_workers", type=int, default=4)
@@ -55,16 +71,21 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--test", action="store_true", default=False)
     p.add_argument("--resume", action="store_true", default=False)
     p.add_argument("--seed", type=int, default=42)
-    p.add_argument("--deep_supervision", type=bool, default=False,
+    p.add_argument("--deep_supervision", type=str2bool, default=False,
                    help="accepted for parity; unused by the model (as in reference)")
-    p.add_argument("--mixup", type=bool, default=False,
+    p.add_argument("--mixup", type=str2bool, default=False,
                    help="inert in the reference (train.py:150-153); kept for parity")
     p.add_argument("--apm", action="store_true", default=False,
                    help="mixed precision: bf16 compute policy (AMP analogue)")
     p.add_argument("--plot", action="store_true", default=False)
-    p.add_argument("--distributed", type=bool, default=False,
-                   help="shard the batch over all local devices")
-    p.add_argument("--k_fold", type=bool, default=True)
+    p.add_argument("--distributed", type=str2bool, default=False,
+                   help="shard batches over a ('data','spatial') device mesh")
+    p.add_argument("--k_fold", type=str2bool, default=True)
+    p.add_argument("--hd95", action="store_true", default=False,
+                   help="report 95th-pct Hausdorff distance on eval/test")
+    p.add_argument("--serve", action="store_true", default=False,
+                   help="run --test inference through the fused serving engine "
+                        "(structural_reparam + serve.deploy_forward)")
     # new, replacing hard-coded absolute paths
     p.add_argument("--img_size", type=int, default=256)
     p.add_argument("--manifest_dir", type=str, default="manifests")
@@ -88,16 +109,22 @@ def _datasets(args, fold: int):
 
     if args.synthetic:
         mk = lambda mode, n: SyntheticDataset(n, args.img_size, mode, seed=args.seed)
-        return mk("train", 8), mk("val", 4), mk("val", 4)
-    kw = dict(img_size=args.img_size, root=args.data_root)
-    train = SegmentationDataset.from_csv(_manifest(args, "train", fold), "train", **kw)
-    val = SegmentationDataset.from_csv(_manifest(args, "val", fold), "val", **kw)
-    test_csv = _manifest(args, "test", fold)
-    test = (
-        SegmentationDataset.from_csv(test_csv, "val", **kw)
-        if os.path.exists(test_csv)
-        else val
-    )
+        train, val, test = mk("train", 8), mk("val", 4), mk("val", 4)
+    else:
+        kw = dict(img_size=args.img_size, root=args.data_root)
+        train = SegmentationDataset.from_csv(_manifest(args, "train", fold), "train", **kw)
+        val = SegmentationDataset.from_csv(_manifest(args, "val", fold), "val", **kw)
+        test_csv = _manifest(args, "test", fold)
+        test = (
+            SegmentationDataset.from_csv(test_csv, "val", **kw)
+            if os.path.exists(test_csv)
+            else val
+        )
+    # per-host manifest sharding (the DistributedSampler analogue): each host
+    # trains on its own slice; val/test stay whole (metrics are computed once
+    # on the main process from the full set)
+    if jax.process_count() > 1:
+        train = train.shard(jax.process_index(), jax.process_count())
     return train, val, test
 
 
@@ -116,6 +143,7 @@ def main_single(fold: int, args) -> dict:
     import jax.numpy as jnp
 
     from lmnet_tpu.models import LMNet
+    from lmnet_tpu.parallel.dist_utils import is_main_process
     from lmnet_tpu.train import checkpoint as ckpt
     from lmnet_tpu.train.engine import create_train_state, make_optimizer
     from lmnet_tpu.train.loop import evaluate, train_one_epoch, visualize
@@ -123,6 +151,18 @@ def main_single(fold: int, args) -> dict:
     set_seed(args.seed)
     datasets = _datasets(args, fold)
     steps_per_epoch = max(len(datasets[0]) // args.batch_size, 1)
+
+    mesh = None
+    if args.distributed:
+        from lmnet_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(n_spatial=1)
+        n_data = mesh.shape["data"]
+        if args.batch_size % n_data:
+            raise SystemExit(
+                f"--batch_size {args.batch_size} must be divisible by the "
+                f"{n_data}-device data axis under --distributed"
+            )
 
     model = LMNet(
         num_classes=args.num_classes,
@@ -140,6 +180,10 @@ def main_single(fold: int, args) -> dict:
     state = create_train_state(
         model, jax.random.key(args.seed), (1, 64, 64, 3), tx=tx
     )
+    if mesh is not None:
+        from lmnet_tpu.parallel.mesh import replicate
+
+        state = replicate(mesh, state)
 
     tag = f"{args.model}{args.dataset}"
     rolling = f"{tag}_{fold}_checkpoint"
@@ -165,19 +209,29 @@ def main_single(fold: int, args) -> dict:
         if ckpt.checkpoint_exists(args.ckpt_dir, rolling):
             state, _ = ckpt.restore_checkpoint(args.ckpt_dir, rolling, state)
         _, _, test_loader = _loaders(args, datasets, 0)
-        test_loss, m = evaluate(state, test_loader, args.num_classes, args.img_size)
-        row = [test_loss, m["accuracy"], m["precision"], m["recall"],
-               m["specificity"], m["dice"], m["iou"], m["mean_iou"]]
-        print(
-            " test_loss:{:.4f} test_accuracy:{:.4f} test_precision:{:.4f}"
-            " test_recall:{:.4f} test_specificity:{:.4f} test_dice:{:.4f}"
-            " test_iou:{:.4f} test_mean_iou:{:.4f}".format(*row)
-        )
-        with open(os.path.join(args.out_dir, f"{tag}test_rvd_class.csv"),
-                  "a", encoding="utf-8", newline="") as fw:
-            csv.writer(fw).writerow(f"{e:.4f}" for e in row)
-        return dict(zip(["loss", "accuracy", "precision", "recall",
-                         "specificity", "dice", "iou", "mean_iou"], row))
+        if args.serve:
+            from lmnet_tpu.serve.engine import serving_evaluate
+
+            test_loss, m = serving_evaluate(
+                state, test_loader, args.num_classes, args.img_size,
+                compute_hd95=args.hd95,
+            )
+        else:
+            test_loss, m = evaluate(
+                state, test_loader, args.num_classes, args.img_size,
+                compute_hd95=args.hd95, mesh=mesh,
+            )
+        names = ["loss", "accuracy", "precision", "recall",
+                 "specificity", "dice", "iou", "mean_iou"]
+        if args.hd95:
+            names.append("hd95")
+        row = [test_loss] + [m[k] for k in names[1:]]
+        print(" " + " ".join(f"test_{n}:{v:.4f}" for n, v in zip(names, row)))
+        if is_main_process():
+            with open(os.path.join(args.out_dir, f"{tag}test_rvd_class.csv"),
+                      "a", encoding="utf-8", newline="") as fw:
+                csv.writer(fw).writerow(f"{e:.4f}" for e in row)
+        return dict(zip(names, row))
 
     best_iou = 0.0
     last_metrics: dict = {}
@@ -186,9 +240,12 @@ def main_single(fold: int, args) -> dict:
         train_loader, val_loader, _ = _loaders(args, datasets, epoch)
         rng = jax.random.fold_in(jax.random.key(args.seed), epoch)
         state, train_loss, tm = train_one_epoch(
-            state, train_loader, rng, args.num_classes, args.img_size
+            state, train_loader, rng, args.num_classes, args.img_size, mesh=mesh
         )
-        val_loss, vm = evaluate(state, val_loader, args.num_classes, args.img_size)
+        val_loss, vm = evaluate(
+            state, val_loader, args.num_classes, args.img_size,
+            compute_hd95=args.hd95, mesh=mesh,
+        )
         print(
             " train_loss:{:.4f} train_dice:{:.4f} train_iou:{:.4f} "
             "val_loss:{:.4f} val_dice:{:.4f} val_iou:{:.4f} ({:.1f} img/s)".format(
@@ -202,16 +259,18 @@ def main_single(fold: int, args) -> dict:
             val_loss, vm["accuracy"], vm["precision"], vm["recall"],
             vm["specificity"], vm["dice"], vm["iou"], vm["mean_iou"],
         ]
-        with open(os.path.join(args.out_dir, f"{tag}_{fold}.csv"),
-                  "a", encoding="utf-8", newline="") as fw:
-            csv.writer(fw).writerow(f"{e:.4f}" for e in row)
-        ckpt.save_checkpoint(args.ckpt_dir, rolling, state, epoch)
+        if is_main_process():
+            with open(os.path.join(args.out_dir, f"{tag}_{fold}.csv"),
+                      "a", encoding="utf-8", newline="") as fw:
+                csv.writer(fw).writerow(f"{e:.4f}" for e in row)
+            ckpt.save_checkpoint(args.ckpt_dir, rolling, state, epoch)
         if vm["iou"] > best_iou:
             best_iou = vm["iou"]
-            ckpt.save_checkpoint(args.ckpt_dir, best_name, state, epoch)
-            with open(os.path.join(args.out_dir, f"{tag}bestresult_{fold}.csv"),
-                      "w", encoding="utf-8", newline="") as fw:
-                csv.writer(fw).writerow(f"{e:.4f}" for e in row)
+            if is_main_process():
+                ckpt.save_checkpoint(args.ckpt_dir, best_name, state, epoch)
+                with open(os.path.join(args.out_dir, f"{tag}bestresult_{fold}.csv"),
+                          "w", encoding="utf-8", newline="") as fw:
+                    csv.writer(fw).writerow(f"{e:.4f}" for e in row)
         last_metrics = {"val_iou": vm["iou"], "val_dice": vm["dice"],
                         "best_iou": best_iou, "epoch": epoch}
     return last_metrics

@@ -153,7 +153,17 @@ def _rgb_to_gray(img):
 
 
 def color_jitter(key, img, brightness=0.2, contrast=0.2, saturation=0.2, hue=0.2, p=0.4):
-    """torchvision-style ColorJitter (fixed op order b->c->s->h)."""
+    """torchvision-style ColorJitter.
+
+    DOCUMENTED DEVIATION from albumentations/torchvision (reference
+    ``dataset/data_loading.py:215``): upstream applies the four ops in a
+    *random* order per call; this implementation uses the fixed order
+    brightness -> contrast -> saturation -> hue.  The per-op factor
+    distributions are identical, so the augmentation distributions differ
+    only through op-composition order — a second-order effect (all four ops
+    approximately commute for small factors).  A jit-compatible random order
+    would need a 24-way ``lax.switch``; not worth the compile cost.
+    """
     k0, kb, kc, ks, kh = jax.random.split(key, 5)
     apply = jax.random.uniform(k0) < p
 

@@ -57,6 +57,16 @@ class SegmentationDataset:
     def __len__(self):
         return len(self.df)
 
+    def shard(self, rank: int, world: int) -> "SegmentationDataset":
+        """Per-host manifest sharding (the DistributedSampler analogue):
+        process ``rank`` of ``world`` sees rows rank::world."""
+        if world <= 1:
+            return self
+        return SegmentationDataset(
+            self.df.iloc[rank::world].reset_index(drop=True),
+            self.mode, self.img_size, self.load_size, self.root, self.mask_mode,
+        )
+
     def _resolve(self, row, col):
         p = row[col]
         if "directory" in row and isinstance(row.get("directory"), str):
@@ -109,9 +119,16 @@ def make_loader(
     else:
         nb = (n + batch_size - 1) // batch_size
 
+    import concurrent.futures as cf
+
+    pool = cf.ThreadPoolExecutor(max(num_threads, 1)) if num_threads > 1 else None
+
     def load_batch(bi):
-        idxs = order[bi * batch_size : (bi + 1) * batch_size]
-        items = [dataset[int(i)] for i in idxs]
+        idxs = [int(i) for i in order[bi * batch_size : (bi + 1) * batch_size]]
+        if pool is not None:
+            items = list(pool.map(dataset.__getitem__, idxs))
+        else:
+            items = [dataset[i] for i in idxs]
         imgs = np.stack([it[0] for it in items])
         masks = np.stack([it[1] for it in items])
         return imgs, masks
@@ -138,6 +155,8 @@ def make_loader(
             yield item
     finally:
         stop.set()
+        if pool is not None:
+            pool.shutdown(wait=False)
 
 
 class SyntheticDataset:
@@ -154,8 +173,21 @@ class SyntheticDataset:
     def __len__(self):
         return self.n
 
+    def shard(self, rank: int, world: int) -> "SyntheticDataset":
+        if world <= 1:
+            return self
+        out = SyntheticDataset(
+            (self.n - rank + world - 1) // world, self.img_size, self.mode, self.seed
+        )
+        out._offset = rank
+        out._stride = world
+        return out
+
+    _offset = 0
+    _stride = 1
+
     def __getitem__(self, idx: int):
-        rng = np.random.RandomState(self.seed + idx)
+        rng = np.random.RandomState(self.seed + self._offset + idx * self._stride)
         s = self.load_size if self.mode == "train" else self.img_size
         img = rng.randint(0, 256, (s, s, 3), dtype=np.uint8)
         yy, xx = np.mgrid[:s, :s]

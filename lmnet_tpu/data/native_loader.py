@@ -14,6 +14,7 @@ unavailable the caller should fall back to ``datasets.make_loader``.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 import struct
@@ -23,17 +24,27 @@ import numpy as np
 _MAGIC = 0x4C4D4E45545F4331
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "..", "native", "loader.cpp")
-_LIB = os.path.join(_HERE, "..", "native", "libloader.so")
 
 
 def _ensure_lib() -> str:
-    if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
+    """Compile loader.cpp to a content-addressed .so (never committed).
+
+    The library name embeds the source hash, so a stale or foreign binary can
+    never be picked up: a source change always compiles to a new path, and a
+    fresh clone always compiles from source.
+    """
+    with open(_SRC, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()[:16]
+    lib = os.path.join(_HERE, "..", "native", f"libloader-{digest}.so")
+    if not os.path.exists(lib):
+        tmp = f"{lib}.tmp.{os.getpid()}"
         subprocess.run(
             ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
-             _SRC, "-o", _LIB],
+             _SRC, "-o", tmp],
             check=True,
         )
-    return _LIB
+        os.replace(tmp, lib)
+    return lib
 
 
 def native_available() -> bool:

@@ -3,7 +3,11 @@ from lmnet_tpu.losses.losses import (
     class_balanced_loss,
     cross_entropy_loss,
     dice_loss,
+    effective_number_weights,
     focal_loss,
+    mmseg_binary_dice_loss,
+    mmseg_dice_loss,
+    official_dice_loss,
     segmentation_loss,
 )
 
@@ -12,6 +16,10 @@ __all__ = [
     "class_balanced_loss",
     "cross_entropy_loss",
     "dice_loss",
+    "effective_number_weights",
     "focal_loss",
+    "mmseg_binary_dice_loss",
+    "mmseg_dice_loss",
+    "official_dice_loss",
     "segmentation_loss",
 ]

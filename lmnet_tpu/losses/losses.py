@@ -172,6 +172,83 @@ def class_balanced_loss(
     return jnp.mean(wn * bce)
 
 
+def mmseg_binary_dice_loss(
+    pred: jnp.ndarray,
+    target: jnp.ndarray,
+    valid_mask: jnp.ndarray,
+    smooth: float = 1.0,
+    exponent: float = 2.0,
+) -> jnp.ndarray:
+    """mmseg-style per-sample binary dice (reference utils/loss.py:228-237).
+
+    Flattens per sample; numerator masks by ``valid_mask``, denominator does
+    NOT (matching the reference exactly). Returns a per-sample (B,) vector of
+    ``1 - (2*sum(p*t*m) + smooth) / (sum(p^e + t^e) + smooth)``.
+    """
+    b = pred.shape[0]
+    p = pred.reshape(b, -1)
+    t = target.reshape(b, -1).astype(p.dtype)
+    m = valid_mask.reshape(b, -1).astype(p.dtype)
+    num = 2.0 * jnp.sum(p * t * m, axis=1) + smooth
+    den = jnp.sum(p**exponent + t**exponent, axis=1) + smooth
+    return 1.0 - num / den
+
+
+def mmseg_dice_loss(
+    pred: jnp.ndarray,
+    target: jnp.ndarray,
+    valid_mask: jnp.ndarray,
+    smooth: float = 1.0,
+    exponent: float = 2.0,
+    class_weight: Sequence[float] | None = None,
+    ignore_index: int = 255,
+) -> jnp.ndarray:
+    """mmseg-style multi-class dice (reference utils/loss.py:210-225).
+
+    ``pred``: (B, H, W, C) probabilities; ``target``: (B, H, W, C) one-hot;
+    ``valid_mask``: (B, H, W). Classes whose *index* equals ``ignore_index``
+    are skipped (as in the reference — 255 never matches a real class id);
+    per-class dice is weighted and summed, divided by C. Returns (B,).
+    """
+    num_classes = pred.shape[-1]
+    total = jnp.zeros((pred.shape[0],), pred.dtype)
+    for i in range(num_classes):
+        if i == ignore_index:
+            continue
+        d = mmseg_binary_dice_loss(
+            pred[..., i], target[..., i], valid_mask, smooth, exponent
+        )
+        if class_weight is not None:
+            d = d * class_weight[i]
+        total = total + d
+    return total / num_classes
+
+
+def official_dice_loss(
+    logits: jnp.ndarray,
+    labels: jnp.ndarray,
+    smooth: float = 1.0,
+    exponent: float = 2.0,
+    class_weight: Sequence[float] | None = None,
+    loss_weight: float = 1.0,
+    ignore_index: int = 255,
+) -> jnp.ndarray:
+    """Reference ``offical_DiceLoss`` (utils/loss.py:239-267): softmax over
+    classes, one-hot of clamped labels, valid_mask = labels != ignore_index,
+    mmseg dice summed over the batch, scaled by ``loss_weight``.
+
+    ``logits``: (B, H, W, C); ``labels``: (B, H, W) ints (255 = ignore).
+    """
+    num_classes = logits.shape[-1]
+    probs = jax.nn.softmax(logits, axis=-1)
+    one_hot = _one_hot(jnp.clip(labels, 0, num_classes - 1), num_classes)
+    valid_mask = (labels != ignore_index).astype(jnp.int32)
+    per_sample = mmseg_dice_loss(
+        probs, one_hot, valid_mask, smooth, exponent, class_weight, ignore_index
+    )
+    return loss_weight * jnp.sum(per_sample)
+
+
 def segmentation_loss(
     logits: jnp.ndarray,
     labels: jnp.ndarray,

@@ -59,13 +59,13 @@ def torch_bias_init(fan_in: int):
 # GELU: the reference uses torch's exact erf GELU. On TPU the erf
 # transcendental costs ~7.5x a tanh GELU pass (measured 1.29ms vs 0.17ms per
 # 64x256^2x24 application, ~28 applications per forward) while differing by
-# at most 5e-4 — below bf16 resolution. Default: tanh; set
-# ``blocks.GELU_EXACT = True`` for bit-parity comparisons against torch.
-GELU_EXACT = False
+# at most 5e-4 — below bf16 resolution. Default: tanh; pass
+# ``LMNet(gelu_exact=True)`` (threaded to every block as a config field) for
+# bit-parity comparisons against the erf-GELU torch reference.
 
 
-def gelu(x):
-    return jax.nn.gelu(x, approximate=not GELU_EXACT)
+def gelu(x, exact: bool = False):
+    return jax.nn.gelu(x, approximate=not exact)
 
 
 class TorchConv(nn.Module):
@@ -191,6 +191,7 @@ class ReparamConv(nn.Module):
     small_kernel: int = 3
     stride: int = 1
     deploy: bool = False
+    gelu_exact: bool = False
     dtype: Dtype = None
 
     @nn.compact
@@ -229,7 +230,7 @@ class ReparamConv(nn.Module):
             out = out + batch_norm("ver_bn", train, self.dtype)(dw("ver_conv", (sk, 1))(x1))
             out = out + batch_norm("hor_bn", train, self.dtype)(dw("hor_conv", (1, sk))(x1))
 
-        x1 = SE(ec, dtype=self.dtype, name="se")(gelu(out))
+        x1 = SE(ec, dtype=self.dtype, name="se")(gelu(out, self.gelu_exact))
         x1 = TorchConv(self.out_channels, (1, 1), dtype=self.dtype, name="pointwise_conv")(x1)
         return x1 + TorchConv(self.out_channels, (1, 1), dtype=self.dtype, name="shortcut")(x)
 
@@ -240,12 +241,13 @@ class Mlp(nn.Module):
     hidden: int
     out: int
     drop: float = 0.1
+    gelu_exact: bool = False
     dtype: Dtype = None
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         x = TorchDense(self.hidden, dtype=self.dtype, name="fc1")(x)
-        x = gelu(x)
+        x = gelu(x, self.gelu_exact)
         x = nn.Dropout(self.drop)(x, deterministic=deterministic)
         x = TorchDense(self.out, dtype=self.dtype, name="fc2")(x)
         x = nn.Dropout(self.drop)(x, deterministic=deterministic)
@@ -318,6 +320,7 @@ class GFT(nn.Module):
     num_heads: int = 12
     mlp_ratio: int = 2
     patch_size: int = 3
+    gelu_exact: bool = False
     dtype: Dtype = None
 
     @nn.compact
@@ -328,9 +331,10 @@ class GFT(nn.Module):
         ln1 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(tokens)
         att = GlobalAttention(self.dim, self.num_heads, self.dtype, name="attn")(ln1) + tokens
         ln2 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(att)
-        out = Mlp(self.mlp_ratio * self.dim, self.dim, dtype=self.dtype, name="mlp")(
-            ln2, deterministic
-        ) + att
+        out = Mlp(
+            self.mlp_ratio * self.dim, self.dim,
+            gelu_exact=self.gelu_exact, dtype=self.dtype, name="mlp",
+        )(ln2, deterministic) + att
         out = out.reshape(B, H, W, self.dim)
         return TorchConv(self.out_channels, (1, 1), dtype=self.dtype, name="out_conv")(out)
 
@@ -348,6 +352,7 @@ class M3Skip(nn.Module):
     large scale, 3x3 the mid, upsample the small; concat; 3x3+BN+GELU fuse."""
 
     channels: tuple[int, int, int]  # (large, mid, small) channel counts
+    gelu_exact: bool = False
     dtype: Dtype = None
 
     @nn.compact
@@ -361,7 +366,7 @@ class M3Skip(nn.Module):
         x = jnp.concatenate([a, b, c], axis=-1)
         x = TorchConv(cm, (3, 3), dtype=self.dtype, name="fuse_conv")(x)
         x = batch_norm("fuse_bn", train, self.dtype)(x)
-        return gelu(x)
+        return gelu(x, self.gelu_exact)
 
 
 class M2Skip(nn.Module):
@@ -373,6 +378,7 @@ class M2Skip(nn.Module):
 
     channels: tuple[int, int]  # (large-scale ch, small-scale ch)
     mode: str = "bottom"
+    gelu_exact: bool = False
     dtype: Dtype = None
 
     @nn.compact
@@ -390,7 +396,7 @@ class M2Skip(nn.Module):
         x = jnp.concatenate([a, b], axis=-1)
         x = TorchConv(cout, (3, 3), dtype=self.dtype, name="fuse_conv")(x)
         x = batch_norm("fuse_bn", train, self.dtype)(x)
-        return gelu(x)
+        return gelu(x, self.gelu_exact)
 
 
 class NeighborhoodAttention2D(nn.Module):
@@ -440,6 +446,7 @@ class NeighborhoodTransformer(nn.Module):
     num_heads: int = 12
     kernel_size: int = 3
     patch_size: int = 3
+    gelu_exact: bool = False
     dtype: Dtype = None
     nat_backend: str = "auto"
 
@@ -452,6 +459,7 @@ class NeighborhoodTransformer(nn.Module):
             backend=self.nat_backend, name="attn",
         )(ln1) + emb
         ln2 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(att)
-        return Mlp(2 * self.dim, self.dim, dtype=self.dtype, name="mlp")(
-            ln2, deterministic
-        ) + att
+        return Mlp(
+            2 * self.dim, self.dim,
+            gelu_exact=self.gelu_exact, dtype=self.dtype, name="mlp",
+        )(ln2, deterministic) + att

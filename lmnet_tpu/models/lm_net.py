@@ -52,6 +52,7 @@ class LMNet(nn.Module):
     deep_supervision: bool = False
     deploy: bool = False
     num_heads: int = 12
+    gelu_exact: bool = False  # erf GELU (torch nn.GELU parity); default tanh
     dtype: Any = None
     nat_backend: str = "auto"  # 'auto' | 'pallas' | 'xla' (see blocks.NeighborhoodAttention2D)
 
@@ -60,9 +61,12 @@ class LMNet(nn.Module):
         det = (not train) if deterministic is None else deterministic
         f = self.filters
         dt = self.dtype
+        ge = self.gelu_exact
 
         def rc(name, expand, out):
-            return ReparamConv(expand, out, 5, 3, deploy=self.deploy, dtype=dt, name=name)
+            return ReparamConv(
+                expand, out, 5, 3, deploy=self.deploy, gelu_exact=ge, dtype=dt, name=name
+            )
 
         def down(name, ch, h):
             return TorchConv(ch, (3, 3), strides=(2, 2), dtype=dt, name=name)(h)
@@ -90,20 +94,27 @@ class LMNet(nn.Module):
             out_channels=f[4],
             num_heads=self.num_heads,
             mlp_ratio=2,
+            gelu_exact=ge,
             dtype=dt,
             name="gft",
         )(pyramid_pool([x1, x2, x3, x4], xd4), det)
 
         # --- multi-scale skips + neighborhood attention ----------------
-        s1 = M2Skip((f[2], f[3]), "bottom", dtype=dt, name="skip1")(x3, x4, train)
-        s2 = M3Skip((f[1], f[2], f[3]), dtype=dt, name="skip2")(x2, x3, x4, train)
-        s3 = M3Skip((f[0], f[1], f[2]), dtype=dt, name="skip3")(x1, x2, x3, train)
-        s4 = M2Skip((f[0], f[1]), "top", dtype=dt, name="skip4")(x1, x2, train)
+        s1 = M2Skip((f[2], f[3]), "bottom", gelu_exact=ge, dtype=dt, name="skip1")(x3, x4, train)
+        s2 = M3Skip((f[1], f[2], f[3]), gelu_exact=ge, dtype=dt, name="skip2")(x2, x3, x4, train)
+        s3 = M3Skip((f[0], f[1], f[2]), gelu_exact=ge, dtype=dt, name="skip3")(x1, x2, x3, train)
+        s4 = M2Skip((f[0], f[1]), "top", gelu_exact=ge, dtype=dt, name="skip4")(x1, x2, train)
 
-        x46 = NeighborhoodTransformer(f[3], self.num_heads, dtype=dt, nat_backend=self.nat_backend, name="natt1")(s1, det)
-        x37 = NeighborhoodTransformer(f[2], self.num_heads, dtype=dt, nat_backend=self.nat_backend, name="natt2")(s2, det)
-        x28 = NeighborhoodTransformer(f[1], self.num_heads, dtype=dt, nat_backend=self.nat_backend, name="natt3")(s3, det)
-        x19 = NeighborhoodTransformer(f[0], self.num_heads, dtype=dt, nat_backend=self.nat_backend, name="natt4")(s4, det)
+        def natt(name, dim):
+            return NeighborhoodTransformer(
+                dim, self.num_heads, gelu_exact=ge, dtype=dt,
+                nat_backend=self.nat_backend, name=name,
+            )
+
+        x46 = natt("natt1", f[3])(s1, det)
+        x37 = natt("natt2", f[2])(s2, det)
+        x28 = natt("natt3", f[1])(s3, det)
+        x19 = natt("natt4", f[0])(s4, det)
 
         # --- decoder ----------------------------------------------------
         x6 = up("up1", f[3], x5) + x46

@@ -63,28 +63,37 @@ void* lm_open(const char* path) {
     return nullptr;
   }
   madvise(mem, st.st_size, MADV_WILLNEED);
+  const size_t file_size = static_cast<size_t>(st.st_size);
+  const size_t hdr_sz = 4 * sizeof(uint64_t);
+  if (file_size < hdr_sz) {
+    munmap(mem, st.st_size);
+    ::close(fd);
+    return nullptr;
+  }
   const uint64_t* hdr = static_cast<const uint64_t*>(mem);
-  if (hdr[0] != kMagic) {
+  const uint64_t n = hdr[1], h = hdr[2], w = hdr[3];
+  // Overflow-safe validation of n*h*w*4 + hdr against the actual file size
+  // BEFORE deriving any data pointers: a corrupted/truncated cache whose
+  // header product wraps uint64 must be rejected, not mmap-read OOB.
+  const uint64_t payload = file_size - hdr_sz;
+  bool ok = hdr[0] == kMagic && n > 0 && h > 0 && w > 0;
+  // each factor must individually fit, then check via division (no overflow)
+  ok = ok && h <= payload && w <= payload / h && n <= payload / h / w / 4;
+  ok = ok && n * h * w * 4 <= payload;  // exact bytes check (images+masks)
+  if (!ok) {
     munmap(mem, st.st_size);
     ::close(fd);
     return nullptr;
   }
   Cache* c = new Cache();
   c->fd = fd;
-  c->file_size = st.st_size;
+  c->file_size = file_size;
   c->base = static_cast<const uint8_t*>(mem);
-  c->n = hdr[1];
-  c->h = hdr[2];
-  c->w = hdr[3];
-  c->images = c->base + 4 * sizeof(uint64_t);
-  c->masks = c->images + c->n * c->h * c->w * 3;
-  size_t need = 4 * sizeof(uint64_t) + c->n * c->h * c->w * 4;
-  if (c->file_size < need) {
-    munmap(mem, st.st_size);
-    ::close(fd);
-    delete c;
-    return nullptr;
-  }
+  c->n = n;
+  c->h = h;
+  c->w = w;
+  c->images = c->base + hdr_sz;
+  c->masks = c->images + n * h * w * 3;
   return c;
 }
 

@@ -251,6 +251,10 @@ def _nat_forward(q, k, v, rpb, kernel_size, interpret: bool = False):
     rows = 8 if W >= 128 else 4 if vectorized else 16
     while H % rows:
         rows //= 2
+    if rows < 2:
+        # odd H: the stripe structure (top/bottom fixup rows) needs >=2 rows
+        # per stripe; fall back to the XLA formulation (mirrors the H<8 guard)
+        return nat_xla.neighborhood_attention(q, k, v, rpb, kernel_size)
 
     # channels-on-sublanes orientation (see module docstring)
     qT, kT, vT = (x.transpose(0, 1, 3, 2) for x in (q, k, v))  # (B, H, C, W)

@@ -62,8 +62,18 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, images, labels, spatial: bool = True):
-    """Place a host batch onto the mesh, sharded over data (+spatial)."""
-    sh = batch_sharding(mesh, spatial)
+    """Place a host batch onto the mesh, sharded over data (+spatial).
+
+    Axes that don't divide evenly (e.g. a ragged tail eval batch) fall back
+    to replication on that axis — correctness is preserved, only the tail
+    batch loses parallelism.
+    """
+    n_data = mesh.shape["data"]
+    n_spatial = mesh.shape["spatial"]
+    b_ok = images.shape[0] % n_data == 0
+    h_ok = spatial and images.shape[1] % n_spatial == 0
+    spec = P("data" if b_ok else None, "spatial" if h_ok else None)
+    sh = NamedSharding(mesh, spec)
     return jax.device_put(images, sh), jax.device_put(labels, sh)
 
 

@@ -183,10 +183,11 @@ def eval_step(
     label_smoothing: float = 0.001,
 ):
     """One eval step (CE loss only, like reference evaluate).
-    Returns (loss, logits-argmax confusion update)."""
+    Returns (loss, updated confusion, argmax preds). Preds stay on device
+    unless the caller fetches them (e.g. for HD95) — no extra forward."""
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     logits = state.apply_fn(variables, images, train=False)
     loss = cross_entropy_loss(logits, labels, ce_weight, label_smoothing)
     preds = jnp.argmax(logits, axis=-1)
     cm = cm + confusion_matrix(preds, labels, num_classes)
-    return loss, cm
+    return loss, cm, preds

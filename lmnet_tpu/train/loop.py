@@ -28,8 +28,15 @@ def train_one_epoch(
     img_size: int = 256,
     augment_on_device: bool = True,
     log_every: int = 0,
+    mesh=None,
 ):
-    """Run one training epoch. Returns (state, total_loss, metrics dict)."""
+    """Run one training epoch. Returns (state, total_loss, metrics dict).
+
+    ``mesh``: optional jax.sharding.Mesh — batches are sharded over its
+    'data' (+'spatial') axes before the step; grads/BN means become global
+    automatically (XLA inserts the collectives), which is exactly the
+    reference's latent DDP+syncBN intent (utils/distributed_utils.py).
+    """
     cm = ConfusionAccumulator.init(num_classes)
     total_loss = 0.0
     aug_key, step_key = jax.random.split(rng)
@@ -41,6 +48,10 @@ def train_one_epoch(
             x, y = augment.train_pipeline(batch_key, images, masks, out_size=img_size)
         else:
             x, y = augment.eval_pipeline(images, masks, out_size=img_size)
+        if mesh is not None:
+            from lmnet_tpu.parallel.mesh import shard_batch
+
+            x, y = shard_batch(mesh, x, y, spatial=False)
         state, loss, cm = train_step(
             state, x, y, step_key, cm, num_classes=num_classes
         )
@@ -61,6 +72,7 @@ def evaluate(
     num_classes: int = 2,
     img_size: int = 256,
     compute_hd95: bool = False,
+    mesh=None,
 ):
     """Run evaluation. Returns (total_ce_loss, metrics dict).
 
@@ -74,15 +86,15 @@ def evaluate(
     hd_vals: list[float] = []
     for images, masks in loader:
         x, y = augment.eval_pipeline(images, masks, out_size=img_size)
-        loss, cm = eval_step(state, x, y, cm, num_classes=num_classes)
+        if mesh is not None:
+            from lmnet_tpu.parallel.mesh import shard_batch
+
+            x, y = shard_batch(mesh, x, y, spatial=False)
+        loss, cm, preds = eval_step(state, x, y, cm, num_classes=num_classes)
         total_loss += loss
         if compute_hd95:
-            logits = state.apply_fn(
-                {"params": state.params, "batch_stats": state.batch_stats},
-                x, train=False,
-            )
-            preds = np.asarray(jnp.argmax(logits, axis=-1))
-            for p, t in zip(preds, np.asarray(y)):
+            # preds come straight from eval_step's logits — no second forward
+            for p, t in zip(np.asarray(preds), np.asarray(y)):
                 v = hausdorff_distance_95(p == 1, t == 1)
                 if not np.isnan(v):
                     hd_vals.append(v)

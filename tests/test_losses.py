@@ -91,3 +91,45 @@ def test_segmentation_loss_is_ce_plus_dice(rng):
     ce = float(cross_entropy_loss(logits, labels, (1.0, 4.0), 0.001))
     dl = float(dice_loss(logits, labels, (1.0, 4.0)))
     np.testing.assert_allclose(total, ce + dl, rtol=1e-6)
+
+
+def test_mmseg_dice_trio_matches_torch_oracle(rng):
+    """Golden test of the mmseg-style trio (reference utils/loss.py:210-267)
+    against a torch oracle written from the documented equations."""
+    from lmnet_tpu.losses import official_dice_loss
+
+    B, H, W, C = 2, 6, 6, 3
+    logits = rng.randn(B, H, W, C).astype(np.float32)
+    labels = rng.randint(0, C, (B, H, W))
+    labels[0, :2, :2] = 255  # ignore region
+
+    ours = float(official_dice_loss(logits, labels, class_weight=(1.0, 2.0, 0.5)))
+
+    # torch oracle: softmax(C dim) -> one_hot(clamped) -> valid mask ->
+    # per-class binary dice with unmasked denominator -> weighted sum / C
+    # -> sum over batch
+    t_logits = torch.from_numpy(np.transpose(logits, (0, 3, 1, 2)))
+    t_labels = torch.from_numpy(labels).long()
+    pred = torch.softmax(t_logits, dim=1)
+    one_hot = torch.nn.functional.one_hot(torch.clamp(t_labels, 0, C - 1), C)
+    valid = (t_labels != 255).long().reshape(B, -1)
+    total = torch.zeros(B)
+    for i, w in zip(range(C), (1.0, 2.0, 0.5)):
+        p = pred[:, i].reshape(B, -1)
+        t = one_hot[..., i].reshape(B, -1).float()
+        num = 2 * (p * t * valid).sum(1) + 1.0
+        den = (p.pow(2) + t.pow(2)).sum(1) + 1.0
+        total += (1 - num / den) * w
+    expected = float((total / C).sum())
+    np.testing.assert_allclose(ours, expected, rtol=1e-5)
+
+
+def test_mmseg_binary_dice_shape_and_range(rng):
+    from lmnet_tpu.losses import mmseg_binary_dice_loss
+
+    p = rng.rand(3, 5, 5).astype(np.float32)
+    t = (rng.rand(3, 5, 5) > 0.5).astype(np.float32)
+    m = np.ones((3, 5, 5), np.float32)
+    d = np.asarray(mmseg_binary_dice_loss(p, t, m))
+    assert d.shape == (3,)
+    assert (d >= 0).all() and (d <= 1).all()

@@ -161,3 +161,48 @@ def test_global_attention_matches_torch_oracle(rng):
         attn = torch.softmax(q @ k.transpose(-2, -1) * hd**-0.5, dim=-1)
         y = proj((attn @ v).transpose(1, 2).reshape(B, N, C))
     np.testing.assert_allclose(ours, y.numpy(), rtol=1e-4, atol=1e-5)
+
+
+def test_m3skip_exact_gelu_matches_torch_oracle(rng):
+    """The erf-GELU path (gelu_exact=True — torch nn.GELU default,
+    reference core/modules.py:574) against torch's exact GELU."""
+    m = blocks.M3Skip((4, 8, 12), gelu_exact=True)
+    xl = jnp.asarray(rng.randn(1, 16, 16, 4), jnp.float32)
+    xm = jnp.asarray(rng.randn(1, 8, 8, 8), jnp.float32)
+    xs = jnp.asarray(rng.randn(1, 4, 4, 12), jnp.float32)
+    vs = m.init(jax.random.key(0), xl, xm, xs)
+    ours = np.asarray(m.apply(vs, xl, xm, xs, train=False))
+
+    p, s = vs["params"], vs["batch_stats"]
+    convl = tnn.Conv2d(4, 8, 3, stride=2, padding=1)
+    convm = tnn.Conv2d(8, 8, 3, padding=1)
+    convs_ = tnn.Conv2d(12, 8, 3, padding=1)
+    fuse = tnn.Conv2d(24, 8, 3, padding=1)
+    bn = tnn.BatchNorm2d(8).eval()
+    _load_conv(convl, p["convl"])
+    _load_conv(convm, p["convm"])
+    _load_conv(convs_, p["convs"])
+    _load_conv(fuse, p["fuse_conv"])
+    _load_bn(bn, p["fuse_bn"], s["fuse_bn"])
+    with torch.no_grad():
+        a = convl(_t(xl))
+        b = convm(_t(xm))
+        up = torch.nn.functional.interpolate(
+            _t(xs), scale_factor=2, mode="bilinear", align_corners=True
+        )
+        c = convs_(up)
+        y = torch.nn.functional.gelu(bn(fuse(torch.cat([a, b, c], dim=1))))
+    np.testing.assert_allclose(ours, _from_t(y), rtol=1e-4, atol=1e-5)
+
+
+def test_lmnet_gelu_exact_flag_changes_output(rng):
+    """gelu_exact is a real config field threading to every block (no
+    mutable module globals): flipping it changes the forward slightly."""
+    from lmnet_tpu.models import LMNet
+
+    x = jnp.asarray(rng.randn(1, 32, 32, 3), jnp.float32)
+    vs = LMNet(num_classes=2).init(jax.random.key(0), x, train=False)
+    y_tanh = LMNet(num_classes=2).apply(vs, x, train=False)
+    y_erf = LMNet(num_classes=2, gelu_exact=True).apply(vs, x, train=False)
+    diff = float(jnp.max(jnp.abs(y_tanh - y_erf)))
+    assert 0 < diff < 1e-1, diff

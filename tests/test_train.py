@@ -48,9 +48,10 @@ def test_train_smoke_loss_decreases(state, rng):
 def test_eval_step(state, rng):
     x, y = _synthetic_batch(rng)
     cm = ConfusionAccumulator.init(2)
-    loss, cm = eval_step(state, x, y, cm)
+    loss, cm, preds = eval_step(state, x, y, cm)
     assert np.isfinite(float(loss))
     assert float(jnp.sum(cm)) == y.size
+    assert preds.shape == y.shape
 
 
 def test_step_counter_and_lr_schedule(state, rng):
