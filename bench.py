@@ -32,7 +32,7 @@ import jax.numpy as jnp
 # estimate at 256x256.
 A100_EST_IMG_S = 1500.0
 
-BATCH = 64
+BATCH = 128  # measured optimum: B=64 leaves ~40% throughput on the table
 ITERS = 10
 REPS = 3
 
@@ -78,7 +78,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "inference images/sec/chip @256x256 bf16 (batch 64, deploy-fused, Pallas NAT)",
+                "metric": "inference images/sec/chip @256x256 bf16 (batch 128, deploy-fused, flat-layout NAT)",
                 "value": round(best, 1),
                 "unit": "img/s",
                 "vs_baseline": round(best / A100_EST_IMG_S, 3),

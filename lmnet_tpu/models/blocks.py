@@ -426,10 +426,21 @@ class NeighborhoodAttention2D(nn.Module):
         )
         backend = self.backend
         if backend == "auto":
-            backend = "pallas" if (
+            backend = "flat" if (
                 jax.default_backend() == "tpu" and self.kernel_size == 3
             ) else "xla"
-        if backend == "pallas":
+        if backend == "flat":
+            # fused flat-layout kernel: no NHWC<->NHCW transposes
+            from lmnet_tpu.ops.pallas.nat_flat import nat_flat
+
+            B, H, W, _ = q.shape
+            out = nat_flat(
+                q.reshape(B, H, W * C),
+                k.reshape(B, H, W * C),
+                v.reshape(B, H, W * C),
+                rpb, self.num_heads, C, W,
+            ).reshape(B, H, W, C)
+        elif backend == "pallas":
             from lmnet_tpu.ops.pallas.nat_kernel import neighborhood_attention_pallas
 
             out = neighborhood_attention_pallas(q, k, v, rpb, self.kernel_size)

@@ -105,11 +105,18 @@ def _natt(p, x, num_heads, nat_backend):
     qkv = _dense(p["attn"]["qkv"], ln1)
     q, k, v = jnp.split(qkv, 3, axis=-1)
     rpb = p["attn"]["rpb"]
-    nat = (
-        neighborhood_attention_pallas(q, k, v, rpb, 3)
-        if nat_backend == "pallas"
-        else neighborhood_attention(q, k, v, rpb, 3)
-    )
+    if nat_backend == "flat":
+        from lmnet_tpu.ops.pallas.nat_flat import nat_flat
+
+        B, H, W, C = q.shape
+        nat = nat_flat(
+            q.reshape(B, H, W * C), k.reshape(B, H, W * C),
+            v.reshape(B, H, W * C), rpb, num_heads, C, W,
+        ).reshape(B, H, W, C)
+    elif nat_backend == "pallas":
+        nat = neighborhood_attention_pallas(q, k, v, rpb, 3)
+    else:
+        nat = neighborhood_attention(q, k, v, rpb, 3)
     att = _dense(p["attn"]["proj"], nat) + emb
     return _mlp(p["mlp"], _ln(p["norm2"], att)) + att
 
@@ -122,7 +129,7 @@ def deploy_forward(
     variables: dict,
     x: jnp.ndarray,
     num_heads: int = 12,
-    nat_backend: str = "pallas",
+    nat_backend: str = "flat",  # fused flat-layout NAT (no transposes)
     rc_backend: str = "xla",  # measured faster than the two-phase Pallas RC
     interpret: bool = False,  # Pallas interpreter mode (CPU testing)
 ):
@@ -197,7 +204,7 @@ def serving_evaluate(
     img_size: int = 256,
     compute_hd95: bool = False,
     rc_backend: str = "xla",
-    nat_backend: str | None = None,  # None -> pallas on TPU, xla elsewhere
+    nat_backend: str | None = None,  # None -> flat on TPU, xla elsewhere
 ):
     """Evaluate a *training* state through the fused serving path: reparam
     the variables once, then run ``deploy_forward`` over the loader (the
@@ -219,7 +226,7 @@ def serving_evaluate(
     from lmnet_tpu.models import structural_reparam
 
     if nat_backend is None:
-        nat_backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+        nat_backend = "flat" if jax.default_backend() == "tpu" else "xla"
     deploy_vars = structural_reparam(
         {"params": state.params, "batch_stats": state.batch_stats}
     )

@@ -98,7 +98,7 @@ def main():
     # bare fused dw+gelu vs bare XLA dw
     for S, C in ((256, 24), (128, 48), (64, 96), (32, 192)):
         e = jnp.ones((B, S, S, C), jnp.bfloat16)
-        kd = jnp.asarray(np.random.randn(5, 5, C, 1) * 0.1, jnp.float32)
+        kd = jnp.asarray(np.random.randn(5, 5, 1, C) * 0.1, jnp.float32)
         wf = _flat_weights(kd, S)
         bf = jnp.zeros((S * C,), jnp.float32)
         ef = e.reshape(B, S, S * C)
