@@ -33,6 +33,7 @@ import jax.numpy as jnp
 A100_EST_IMG_S = 1500.0
 
 BATCH = 128  # measured optimum: B=64 leaves ~40% throughput on the table
+TRAIN_BATCH = 32
 ITERS = 10
 REPS = 3
 
@@ -75,6 +76,40 @@ def main():
         float(g(x))
         dt = (time.perf_counter() - t0 - rtt) / ITERS
         best = max(best, BATCH / dt)
+
+    # --- train throughput (north star reads "train + infer") -------------
+    # Full train step: fwd + CE/Dice + bwd + AdamW + BN + confusion, bf16
+    # compute policy (the CLI's --apm path), batch TRAIN_BATCH.
+    from lmnet_tpu.metrics.confusion import ConfusionAccumulator
+    from lmnet_tpu.train.engine import create_train_state, train_step
+
+    bf_model = LMNet(num_classes=2, dtype=jnp.bfloat16)
+    state = create_train_state(
+        bf_model, jax.random.key(0), (1, 64, 64, 3),
+        epochs=200, steps_per_epoch=100,
+    )
+    xt = jnp.ones((TRAIN_BATCH, 256, 256, 3), jnp.float32)
+    yt = jnp.zeros((TRAIN_BATCH, 256, 256), jnp.int32)
+    key = jax.random.key(1)
+    cm0 = ConfusionAccumulator.init(2)
+
+    def train_chain(s, x):
+        def body(i, carry):
+            s, acc = carry
+            s, loss, _ = train_step.__wrapped__(s, x, yt, key, cm0)
+            return s, acc + loss
+        _, acc = jax.lax.fori_loop(0, ITERS, body, (s, jnp.zeros(())))
+        return acc
+
+    gt = jax.jit(train_chain)
+    float(gt(state, xt))  # compile + warm
+    train_best = 0.0
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        float(gt(state, xt))
+        dt = (time.perf_counter() - t0 - rtt) / ITERS
+        train_best = max(train_best, TRAIN_BATCH / dt)
+
     print(
         json.dumps(
             {
@@ -82,6 +117,7 @@ def main():
                 "value": round(best, 1),
                 "unit": "img/s",
                 "vs_baseline": round(best / A100_EST_IMG_S, 3),
+                "train_img_s": round(train_best, 1),
             }
         )
     )

@@ -94,6 +94,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--out_dir", type=str, default="results")
     p.add_argument("--synthetic", action="store_true", default=False,
                    help="use the synthetic dataset (smoke tests, no files needed)")
+    p.add_argument("--filters", type=str, default=None,
+                   help="comma-separated per-stage channel plan "
+                        "(default: the reference's 12,24,48,96,192)")
+    p.add_argument("--num_heads", type=int, default=None,
+                   help="NAT heads (default: the reference's 12)")
     return p
 
 
@@ -164,10 +169,16 @@ def main_single(fold: int, args) -> dict:
                 f"{n_data}-device data axis under --distributed"
             )
 
+    model_kw = {}
+    if args.filters:
+        model_kw["filters"] = tuple(int(c) for c in args.filters.split(","))
+    if args.num_heads:
+        model_kw["num_heads"] = args.num_heads
     model = LMNet(
         num_classes=args.num_classes,
         deep_supervision=args.deep_supervision,
         dtype=jnp.bfloat16 if args.apm else None,
+        **model_kw,
     )
     tx = make_optimizer(
         base_lr=args.lr,
@@ -214,7 +225,7 @@ def main_single(fold: int, args) -> dict:
 
             test_loss, m = serving_evaluate(
                 state, test_loader, args.num_classes, args.img_size,
-                compute_hd95=args.hd95,
+                compute_hd95=args.hd95, num_heads=args.num_heads or 12,
             )
         else:
             test_loss, m = evaluate(

@@ -82,13 +82,20 @@ class TorchConv(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        parts = None
+        if isinstance(x, (list, tuple)):
+            # concat-free application: conv(concat(parts)) == sum of convs
+            # with input-channel-sliced kernels — the concatenated tensor is
+            # never materialized (a real copy on TPU). Same params either way.
+            parts = list(x)
+            x = jnp.concatenate(parts, axis=-1)
         in_ch = x.shape[-1]
         kh, kw = self.kernel_size
         pad = self.padding
         if pad is None:
             pad = [(kh // 2, kh // 2), (kw // 2, kw // 2)]
         fan_in = kh * kw * (in_ch // self.feature_group_count)
-        return nn.Conv(
+        conv = nn.Conv(
             features=self.features,
             kernel_size=self.kernel_size,
             strides=self.strides,
@@ -99,29 +106,75 @@ class TorchConv(nn.Module):
             bias_init=torch_bias_init(fan_in),
             dtype=self.dtype,
             name="conv",
-        )(x)
+        )
+        if parts is None or self.feature_group_count != 1:
+            return conv(x)
+        if self.is_initializing():
+            return conv(x)
+        p = self.variables["params"]["conv"]
+        dt = self.dtype or x.dtype
+        out = None
+        c0 = 0
+        for part in parts:
+            c1 = c0 + part.shape[-1]
+            o = jax.lax.conv_general_dilated(
+                part.astype(dt),
+                p["kernel"][:, :, c0:c1, :].astype(dt),
+                self.strides,
+                pad,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            out = o if out is None else out + o
+            c0 = c1
+        if self.use_bias:
+            out = out + p["bias"].astype(dt)
+        return out
 
 
 class TorchDense(nn.Module):
-    """nn.Dense with torch-default initialization."""
+    """nn.Dense with torch-default initialization.
+
+    ``n_slices > 1`` returns the output as n equal channel slices computed
+    by separate weight-sliced matmuls (same params as the fused layer).
+    On TPU, slicing the fused output costs real copies (the slices don't
+    alias), while per-slice matmul outputs fuse into downstream reshapes
+    for free — measured 1.6 ms/stage for the NAT qkv at B=128 256^2x12.
+    """
 
     features: int
     use_bias: bool = True
     kernel_init: Any = None
     bias_init: Any = None
     dtype: Dtype = None
+    n_slices: int = 1
 
     @nn.compact
     def __call__(self, x):
         fan_in = x.shape[-1]
-        return nn.Dense(
+        dense = nn.Dense(
             features=self.features,
             use_bias=self.use_bias,
             kernel_init=self.kernel_init or torch_kernel_init,
             bias_init=self.bias_init or torch_bias_init(fan_in),
             dtype=self.dtype,
             name="dense",
-        )(x)
+        )
+        if self.n_slices == 1:
+            return dense(x)
+        if self.is_initializing():
+            dense(x)  # create the fused params
+        params = self.variables["params"]["dense"]
+        w = params["kernel"]
+        b = params["bias"] if self.use_bias else None
+        dt = self.dtype or x.dtype
+        step = self.features // self.n_slices
+        outs = []
+        for i in range(self.n_slices):
+            o = x.astype(dt) @ w[:, i * step : (i + 1) * step].astype(dt)
+            if b is not None:
+                o = o + b[i * step : (i + 1) * step].astype(dt)
+            outs.append(o)
+        return outs
 
 
 def batch_norm(name: str, train: bool, dtype: Dtype = None) -> nn.BatchNorm:
@@ -363,8 +416,9 @@ class M3Skip(nn.Module):
         c = TorchConv(cm, (3, 3), dtype=self.dtype, name="convs")(
             upsample2x_align_corners(xs)
         )
-        x = jnp.concatenate([a, b, c], axis=-1)
-        x = TorchConv(cm, (3, 3), dtype=self.dtype, name="fuse_conv")(x)
+        # concat-free fuse conv (see TorchConv): conv(concat) == sum of
+        # input-sliced convs, no materialized (.., 3*cm) tensor
+        x = TorchConv(cm, (3, 3), dtype=self.dtype, name="fuse_conv")([a, b, c])
         x = batch_norm("fuse_bn", train, self.dtype)(x)
         return gelu(x, self.gelu_exact)
 
@@ -393,8 +447,7 @@ class M2Skip(nn.Module):
             b = TorchConv(cout, (3, 3), dtype=self.dtype, name="convs")(
                 upsample2x_align_corners(xs)
             )
-        x = jnp.concatenate([a, b], axis=-1)
-        x = TorchConv(cout, (3, 3), dtype=self.dtype, name="fuse_conv")(x)
+        x = TorchConv(cout, (3, 3), dtype=self.dtype, name="fuse_conv")([a, b])
         x = batch_norm("fuse_bn", train, self.dtype)(x)
         return gelu(x, self.gelu_exact)
 
@@ -417,8 +470,9 @@ class NeighborhoodAttention2D(nn.Module):
     @nn.compact
     def __call__(self, x):  # NHWC
         C = self.dim
-        qkv = TorchDense(3 * C, dtype=self.dtype, name="qkv")(x)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
+        # weight-sliced qkv (same params as the fused layer): splitting a
+        # fused (.., 3C) output costs real copies on TPU — see TorchDense
+        q, k, v = TorchDense(3 * C, dtype=self.dtype, n_slices=3, name="qkv")(x)
         rpb = self.param(
             "rpb",
             trunc_normal_init,

@@ -81,7 +81,7 @@ def _seg_sum_broadcast(x, hd: int, C: int):
 
 
 def _nat_flat_kernel(
-    q_ref, ku_ref, kc_ref, kd_ref, vu_ref, vc_ref, vd_ref,
+    q_ref, kc_ref, kpe_ref, kne_ref, vc_ref, vpe_ref, vne_ref,
     bias_ref, o_ref, kscr, vscr,
     *, rows: int, C: int, W: int, heads: int, scale: float,
 ):
@@ -90,32 +90,45 @@ def _nat_flat_kernel(
     WC = q_ref.shape[2]
     hd = C // heads
 
-    # halo: window rows ib*rows-1 .. ib*rows+rows (borders fixed up below)
-    kscr[0] = ku_ref[0, rows - 1]
-    kscr[1 : rows + 1] = kc_ref[0]
-    kscr[rows + 1] = kd_ref[0, 0]
-    vscr[0] = vu_ref[0, rows - 1]
-    vscr[1 : rows + 1] = vc_ref[0]
-    vscr[rows + 1] = vd_ref[0, 0]
+    # halo: window rows ib*rows-1 .. ib*rows+rows (borders fixed up below).
+    # The 1-row halos come from precomputed edge tensors (pe = previous
+    # stripe's last row, ne = next stripe's first row) — fetching full
+    # adjacent stripes tripled the k/v DMA traffic (~1 ms/call at B=128).
+    kscr[0] = kpe_ref[0, 0, 7]
+    kscr[1 : rows + 1] = kc_ref[0, 0]
+    kscr[rows + 1] = kne_ref[0, 0, 0]
+    vscr[0] = vpe_ref[0, 0, 7]
+    vscr[1 : rows + 1] = vc_ref[0, 0]
+    vscr[rows + 1] = vne_ref[0, 0, 0]
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, WC), 1)
     first_mask = lane < C  # output column 0
     last_mask = lane >= WC - C  # output column W-1
 
-    def shifted(full, ow):
-        """Clamped-window column shift on (..., WC) flat rows."""
-        base = pltpu.roll(full, shift=((1 - ow) * C) % WC, axis=full.ndim - 1)
-        # col 0 needs source col ow  -> roll by -ow*C
-        fix0 = pltpu.roll(full, shift=(-ow * C) % WC, axis=full.ndim - 1)
-        # col W-1 needs source col W-3+ow -> roll by (2-ow)*C
-        fixN = pltpu.roll(full, shift=((2 - ow) * C) % WC, axis=full.ndim - 1)
-        base = jnp.where(first_mask, fix0, base)
-        return jnp.where(last_mask, fixN, base)
+    def all_shifted(full):
+        """Clamped-window column shifts for ow = 0, 1, 2 on (..., WC) flat
+        rows.  The 9 logical shifts (base/col-0 fix/col-(W-1) fix x 3 ow)
+        only use 5 distinct roll amounts {-2C..2C}: roll ONCE per amount
+        (cross-lane rotations cost ~2x a plain vector op — measured) and
+        combine with masked selects."""
+        r = {0: full}
+        for s in (-2, -1, 1, 2):
+            r[s] = pltpu.roll(full, shift=(s * C) % WC, axis=full.ndim - 1)
+        out = []
+        for ow in range(3):
+            base = r[1 - ow]       # interior: source col w-1+ow
+            fix0 = r[-ow]          # col 0: source col ow
+            fixN = r[2 - ow]       # col W-1: source col W-3+ow
+            base = jnp.where(first_mask, fix0, base)
+            out.append(jnp.where(last_mask, fixN, base))
+        return out
 
+    # NOTE rolls must be fp32: Mosaic's tpu.dynamic_rotate rejects 16-bit
+    # data ("Rotate with non-32-bit data"), so bf16-input rolls don't lower
     kf = kscr[:].astype(jnp.float32)  # (rows+2, WC)
     vf = vscr[:].astype(jnp.float32)
-    kws = [shifted(kf, ow) for ow in range(3)]
-    vws = [shifted(vf, ow) for ow in range(3)]
+    kws = all_shifted(kf)
+    vws = all_shifted(vf)
 
     def attend(q, row_sl, ci):
         """q: (n, WC) query rows; row_sl(oh) -> halo row slice; ci: bias case."""
@@ -174,10 +187,12 @@ def nat_flat(q, k, v, rpb, heads: int, C: int, W: int,
     assert WC == W * C
     if scale is None:
         scale = float(C // heads) ** -0.5
+    hd = C // heads
     rows = 32 if H >= 32 else 8
     while H % rows:
         rows //= 2
-    if rows < 2 or H < 8:
+    # the segment shift-add/select trees require power-of-2 head_dim
+    if rows < 2 or H < 8 or (hd & (hd - 1)):
         out = nat_xla.neighborhood_attention(
             q.reshape(B, H, W, C), k.reshape(B, H, W, C), v.reshape(B, H, W, C),
             rpb, 3, scale=scale,
@@ -187,10 +202,29 @@ def nat_flat(q, k, v, rpb, heads: int, C: int, W: int,
 
     bias = _bias_table_flat(rpb, W, C)
 
-    stripe = lambda im: pl.BlockSpec((1, rows, WC), im, memory_space=pltpu.VMEM)
-    up = stripe(lambda b, i: (b, jnp.maximum(i - 1, 0), 0))
-    center = stripe(lambda b, i: (b, i, 0))
-    down = stripe(lambda b, i: (b, jnp.minimum(i + 1, nb - 1), 0))
+    # 1-row halos are fetched as single-row blocks of a FREE stripe-major
+    # view (B, nb, rows, WC) — fetching full adjacent stripes tripled the
+    # k/v DMA traffic, and XLA-side edge gathers cost more than they saved
+    # (both measured)
+    k4 = k.reshape(B, nb, rows, WC)
+    v4 = v.reshape(B, nb, rows, WC)
+
+    # edge blocks are 8 rows (Pallas requires the second-minor block dim
+    # divisible by 8): the predecessor's LAST 8 rows / successor's FIRST 8,
+    # of which the kernel uses one — still 2x less halo DMA than fetching
+    # full neighbor stripes
+    stripe = pl.BlockSpec(
+        (1, 1, rows, WC), lambda b, i: (b, i, 0, 0), memory_space=pltpu.VMEM
+    )
+    edge_up = pl.BlockSpec(
+        (1, 1, 8, WC),
+        lambda b, i: (b, jnp.maximum(i - 1, 0), rows // 8 - 1, 0),
+        memory_space=pltpu.VMEM,
+    )
+    edge_dn = pl.BlockSpec(
+        (1, 1, 8, WC), lambda b, i: (b, jnp.minimum(i + 1, nb - 1), 0, 0),
+        memory_space=pltpu.VMEM,
+    )
 
     kernel = functools.partial(
         _nat_flat_kernel, rows=rows, C=C, W=W, heads=heads, scale=scale
@@ -200,9 +234,10 @@ def nat_flat(q, k, v, rpb, heads: int, C: int, W: int,
         grid=(B, nb),
         interpret=interpret,
         in_specs=[
-            center,
-            up, center, down,
-            up, center, down,
+            pl.BlockSpec((1, rows, WC), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            stripe, edge_up, edge_dn,
+            stripe, edge_up, edge_dn,
             pl.BlockSpec((3, 9, WC), lambda b, i: (0, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
@@ -213,7 +248,271 @@ def nat_flat(q, k, v, rpb, heads: int, C: int, W: int,
             pltpu.VMEM((rows + 2, WC), q.dtype),
             pltpu.VMEM((rows + 2, WC), q.dtype),
         ],
-    )(q, k, k, k, v, v, v, bias)
+    )(q, k4, k4, k4, v4, v4, v4, bias)
+
+
+def _nat_flat_bwd_kernel(
+    q_ref, g_ref,
+    ku_ref, kc_ref, kd_ref, vu_ref, vc_ref, vd_ref,
+    bias_ref,
+    dq_ref, dkh_ref, dvh_ref, dbias_ref,
+    kscr, vscr,
+    *, rows: int, C: int, W: int, heads: int, scale: float,
+):
+    """Fused NAT backward: recompute the softmax from (q, k, bias) in VMEM
+    (flash-attention style — nothing saved from the forward but the primals),
+    then dq / per-stripe dk,dv halo contributions / flat dbias partials.
+
+    Structure mirrors ``_nat_flat_kernel``: same stripes, same lane-rotation
+    window shifts; every scatter is the exact adjoint of a forward gather.
+    """
+    b = pl.program_id(0)
+    ib = pl.program_id(1)
+    nb = pl.num_programs(1)
+    WC = q_ref.shape[2]
+    hd = C // heads
+
+    @pl.when((b == 0) & (ib == 0))
+    def _():
+        dbias_ref[...] = jnp.zeros_like(dbias_ref)
+
+    kscr[0] = ku_ref[0, rows - 1]
+    kscr[1 : rows + 1] = kc_ref[0]
+    kscr[rows + 1] = kd_ref[0, 0]
+    vscr[0] = vu_ref[0, rows - 1]
+    vscr[1 : rows + 1] = vc_ref[0]
+    vscr[rows + 1] = vd_ref[0, 0]
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, WC), 1)
+    first_mask = lane < C
+    last_mask = lane >= WC - C
+
+    def all_shifted(full):
+        """See the forward kernel: 5 shared rolls + masked selects."""
+        r = {0: full}
+        for s in (-2, -1, 1, 2):
+            r[s] = pltpu.roll(full, shift=(s * C) % WC, axis=full.ndim - 1)
+        out = []
+        for ow in range(3):
+            base = jnp.where(first_mask, r[-ow], r[1 - ow])
+            out.append(jnp.where(last_mask, r[2 - ow], base))
+        return out
+
+    def shift_adjoint(t, ow):
+        """Exact adjoint of the forward's clamped column shift."""
+        a0 = pltpu.roll(
+            jnp.where(first_mask, t, 0.0), shift=(ow * C) % WC, axis=t.ndim - 1
+        )
+        aN = pltpu.roll(
+            jnp.where(last_mask, t, 0.0), shift=(-(2 - ow) * C) % WC, axis=t.ndim - 1
+        )
+        ai = pltpu.roll(
+            jnp.where(first_mask | last_mask, 0.0, t),
+            shift=(-(1 - ow) * C) % WC, axis=t.ndim - 1,
+        )
+        return a0 + aN + ai
+
+    kf = kscr[:].astype(jnp.float32)
+    vf = vscr[:].astype(jnp.float32)
+    kws = all_shifted(kf)
+    vws = all_shifted(vf)
+
+    qs = q_ref[0].astype(jnp.float32) * scale  # (rows, WC)
+    g_full = g_ref[0].astype(jnp.float32)
+
+    # fixup rows (image top/bottom) are excluded from the interior path by
+    # zeroing their cotangent: dl == a*(da - delta) is then identically 0
+    # there, so no spurious dq/dk/dv/dbias contributions flow.
+    rid = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+    fix_row = ((ib == 0) & (rid == 0)) | ((ib == nb - 1) & (rid == rows - 1))
+    g_int = jnp.where(fix_row, 0.0, g_full)
+
+    dkh_ref[0, 0] = jnp.zeros_like(dkh_ref[0, 0])
+    dvh_ref[0, 0] = jnp.zeros_like(dvh_ref[0, 0])
+
+    def backward(q_rows, g_rows, row_sl, ci, write_dq, write_halo, n):
+        """Shared interior/fixup backward over ``n`` query rows.
+
+        row_sl(a, oh): halo rows the queries see at vertical offset oh.
+        write_dq(dq): store the dq rows.
+        write_halo(oh, dk_rows, dv_rows): accumulate into the halo refs.
+        """
+        def logit(oh, ow):
+            prod = q_rows * row_sl(kws[ow], oh)
+            return _seg_sum_broadcast(prod, hd, C) + bias_ref[ci, oh * 3 + ow][None, :]
+
+        # pass 1: running max
+        m = logit(0, 0)
+        for islot in range(1, 9):
+            m = jnp.maximum(m, logit(islot // 3, islot % 3))
+        # pass 2: den and softmax-jacobian dot  delta = sum_w a_w * da_w
+        den = jnp.zeros_like(m)
+        num = jnp.zeros_like(m)
+        for islot in range(9):
+            oh, ow = islot // 3, islot % 3
+            e = jnp.exp(logit(oh, ow) - m)
+            den = den + e
+            da = _seg_sum_broadcast(g_rows * row_sl(vws[ow], oh), hd, C)
+            num = num + e * da
+        inv = 1.0 / den
+        delta = num * inv
+        # pass 3: dq / dk / dv / dbias accumulation
+        dq = jnp.zeros((n, q_rows.shape[-1]), jnp.float32)
+        for islot in range(9):
+            oh, ow = islot // 3, islot % 3
+            a = jnp.exp(logit(oh, ow) - m) * inv
+            da = _seg_sum_broadcast(g_rows * row_sl(vws[ow], oh), hd, C)
+            dl = a * (da - delta)
+            dq = dq + dl * row_sl(kws[ow], oh)
+            write_halo(oh, shift_adjoint(dl * q_rows, ow),
+                       shift_adjoint(a * g_rows, ow))
+            dbias_ref[ci, islot] += jnp.sum(dl, axis=0)
+        write_dq(dq * scale)
+
+    # interior rows: query row r sees halo rows r..r+2
+    def wh_int(oh, dkr, dvr):
+        dkh_ref[0, 0, oh : oh + rows] += dkr
+        dvh_ref[0, 0, oh : oh + rows] += dvr
+
+    backward(
+        qs, g_int, lambda a, oh: a[oh : oh + rows], 1,
+        lambda dq: dq_ref.__setitem__((0,), dq.astype(dq_ref.dtype)),
+        wh_int, rows,
+    )
+
+    # image top row (stripe 0, row 0): halo rows 1..3, bias case 2
+    @pl.when(ib == 0)
+    def _():
+        def wh(oh, dkr, dvr):
+            dkh_ref[0, 0, 1 + oh : 2 + oh] += dkr
+            dvh_ref[0, 0, 1 + oh : 2 + oh] += dvr
+
+        backward(
+            qs[0:1], g_full[0:1], lambda a, oh: a[1 + oh : 2 + oh], 2,
+            lambda dq: dq_ref.__setitem__(
+                (0, slice(0, 1)), dq.astype(dq_ref.dtype)
+            ),
+            wh, 1,
+        )
+
+    # image bottom row (last stripe, row rows-1): halo rows rows-2..rows, case 0
+    @pl.when(ib == nb - 1)
+    def _():
+        def wh(oh, dkr, dvr):
+            dkh_ref[0, 0, rows - 2 + oh : rows - 1 + oh] += dkr
+            dvh_ref[0, 0, rows - 2 + oh : rows - 1 + oh] += dvr
+
+        backward(
+            qs[rows - 1 : rows], g_full[rows - 1 : rows],
+            lambda a, oh: a[rows - 2 + oh : rows - 1 + oh], 0,
+            lambda dq: dq_ref.__setitem__(
+                (0, slice(rows - 1, rows)), dq.astype(dq_ref.dtype)
+            ),
+            wh, 1,
+        )
+
+
+def _combine_halo(dh: jnp.ndarray, H: int, rows: int) -> jnp.ndarray:
+    """Fold per-stripe (rows+2)-row halo contributions into (B, H, WC):
+    halo row 0 -> previous stripe's last row, halo row rows+1 -> next
+    stripe's first row (the adjoint of the forward's up/center/down reads)."""
+    B, nb, _, WC = dh.shape
+    out = dh[:, :, 1 : rows + 1].reshape(B, H, WC)
+    if nb > 1:
+        up = dh[:, 1:, 0][:, :, None, :]  # -> stripe i-1, row rows-1
+        out = out + jnp.pad(
+            up, ((0, 0), (0, 1), (rows - 1, 0), (0, 0))
+        ).reshape(B, H, WC)
+        dn = dh[:, :-1, rows + 1][:, :, None, :]  # -> stripe i+1, row 0
+        out = out + jnp.pad(
+            dn, ((0, 0), (1, 0), (0, rows - 1), (0, 0))
+        ).reshape(B, H, WC)
+    return out
+
+
+def _unflatten_dbias(dbias, heads: int, C: int, W: int) -> jnp.ndarray:
+    """Adjoint of ``_bias_table_flat``: (3, 9, W*C) flat partials ->
+    (heads, 5, 5) rpb gradient."""
+    hd = C // heads
+    # dl is segment-broadcast in the flat layout (the same per-(p,head)
+    # scalar repeated across the hd lanes of its segment): average, not sum.
+    d = dbias.reshape(3, 9, W, heads, hd).mean(-1)  # (3, 9, W, heads)
+    drpb = jnp.zeros((heads, 5, 5), dbias.dtype)
+    col_cases = [(2, d[:, :, 0:1]), (0, d[:, :, W - 1 : W]), (1, d[:, :, 1 : W - 1])]
+    for ci in range(3):
+        for oh in range(3):
+            for ow in range(3):
+                for cj, dslice in col_cases:
+                    drpb = drpb.at[:, oh + ci, ow + cj].add(
+                        dslice[ci, oh * 3 + ow].sum(0)
+                    )
+    return drpb
+
+
+def nat_flat_bwd(q, k, v, rpb, g, heads: int, C: int, W: int,
+                 scale: float, interpret: bool = False):
+    """Fused Pallas NAT backward. Returns (dq, dk, dv, drpb)."""
+    B, H, WC = q.shape
+    # rows=8: the backward holds ~2x the forward's live VMEM (softmax
+    # recompute + halo accumulators); 16-row stripes overflow the 16 MB
+    # scoped-vmem limit at WC=3072 fp32 (measured 16.43M).
+    rows = 8
+    while H % rows:
+        rows //= 2
+    hd = C // heads
+    if rows < 2 or H < 8 or W < 3 or (hd & (hd - 1)):
+        _, vjp = jax.vjp(
+            lambda q, k, v, rpb: _nat_flat_ref(q, k, v, rpb, heads, C, W, scale),
+            q, k, v, rpb,
+        )
+        return vjp(g)
+    nb = H // rows
+
+    bias = _bias_table_flat(rpb, W, C)
+    stripe = lambda im: pl.BlockSpec((1, rows, WC), im, memory_space=pltpu.VMEM)
+    up = stripe(lambda b, i: (b, jnp.maximum(i - 1, 0), 0))
+    center = stripe(lambda b, i: (b, i, 0))
+    down = stripe(lambda b, i: (b, jnp.minimum(i + 1, nb - 1), 0))
+    halo_out = pl.BlockSpec(
+        (1, 1, rows + 2, WC), lambda b, i: (b, i, 0, 0), memory_space=pltpu.VMEM
+    )
+
+    kernel = functools.partial(
+        _nat_flat_bwd_kernel, rows=rows, C=C, W=W, heads=heads, scale=scale
+    )
+    dq, dkh, dvh, dbias = pl.pallas_call(
+        kernel,
+        grid=(B, nb),
+        interpret=interpret,
+        in_specs=[
+            center, center,
+            up, center, down,
+            up, center, down,
+            pl.BlockSpec((3, 9, WC), lambda b, i: (0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, rows, WC), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            halo_out,
+            halo_out,
+            pl.BlockSpec((3, 9, WC), lambda b, i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, WC), q.dtype),
+            jax.ShapeDtypeStruct((B, nb, rows + 2, WC), jnp.float32),
+            jax.ShapeDtypeStruct((B, nb, rows + 2, WC), jnp.float32),
+            jax.ShapeDtypeStruct((3, 9, WC), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((rows + 2, WC), q.dtype),
+            pltpu.VMEM((rows + 2, WC), q.dtype),
+        ],
+    )(q, g, k, k, k, v, v, v, bias)
+    dk = _combine_halo(dkh, H, rows).astype(k.dtype)
+    dv = _combine_halo(dvh, H, rows).astype(v.dtype)
+    drpb = _unflatten_dbias(dbias, heads, C, W).astype(rpb.dtype)
+    return dq, dk, dv, drpb
 
 
 def _nat_flat_ref(q, k, v, rpb, heads, C, W, scale):
@@ -231,11 +530,9 @@ def _nat_flat_fwd(q, k, v, rpb, heads, C, W, scale, interpret):
 
 def _nat_flat_bwd(heads, C, W, scale, interpret, res, g):
     q, k, v, rpb = res
-    _, vjp = jax.vjp(
-        lambda q, k, v, rpb: _nat_flat_ref(q, k, v, rpb, heads, C, W, scale),
-        q, k, v, rpb,
-    )
-    return vjp(g)
+    if scale is None:
+        scale = float(C // heads) ** -0.5
+    return nat_flat_bwd(q, k, v, rpb, g, heads, C, W, scale, interpret)
 
 
 nat_flat.defvjp(_nat_flat_fwd, _nat_flat_bwd)

@@ -59,7 +59,8 @@ def _flat_weights(kernel: jnp.ndarray, W: int) -> jnp.ndarray:
 
 
 def _dw_kernel(eu_ref, ec_ref, ed_ref, w_ref, b_ref, o_ref, s_ref, hscr,
-               *, rows: int, C: int, kh: int, kw: int):
+               *, rows: int, C: int, kh: int, kw: int,
+               acc_dtype=jnp.float32):
     ib = pl.program_id(1)
     nb = pl.num_programs(1)
     WC = ec_ref.shape[2]
@@ -80,8 +81,8 @@ def _dw_kernel(eu_ref, ec_ref, ed_ref, w_ref, b_ref, o_ref, s_ref, hscr,
 
     # roll ONCE per dw over the whole halo block (kw rolls total, measured
     # ~free vs 25), then row-sliced fmas per dh
-    acc = jnp.broadcast_to(b_ref[:].astype(jnp.float32), (rows, WC))
-    full = hscr[:].astype(jnp.float32)  # (rows + 2*pad, WC)
+    acc = jnp.broadcast_to(b_ref[:].astype(acc_dtype), (rows, WC))
+    full = hscr[:].astype(acc_dtype)  # (rows + 2*pad, WC)
     for dw in range(kw):
         shift = ((pad - dw) * C) % WC
         sh = pltpu.roll(full, shift=shift, axis=1) if shift else full
@@ -92,7 +93,7 @@ def _dw_kernel(eu_ref, ec_ref, ed_ref, w_ref, b_ref, o_ref, s_ref, hscr,
 
     # flat channel sums (fold W outside the kernel): accumulate across the
     # sequential H-stripe grid steps into the per-image (1, WC) output block
-    part = jnp.sum(t, axis=0, keepdims=True)  # (1, WC)
+    part = jnp.sum(t, axis=0, keepdims=True).astype(s_ref.dtype)  # (1, WC)
 
     @pl.when(ib == 0)
     def _():
@@ -128,7 +129,11 @@ def dw_gelu_flat(e_flat: jnp.ndarray, wflat: jnp.ndarray, bflat: jnp.ndarray,
     nb = H // rows
 
     stripe = lambda im: pl.BlockSpec((1, rows, WC), im, memory_space=pltpu.VMEM)
-    kernel = functools.partial(_dw_kernel, rows=rows, C=C, kh=kh, kw=kw)
+    # accumulate in the weight dtype (fp32 default; bf16 wflat selects
+    # bf16-native VPU arithmetic — a perf probe knob, see perf/focus2.py)
+    kernel = functools.partial(
+        _dw_kernel, rows=rows, C=C, kh=kh, kw=kw, acc_dtype=wflat.dtype
+    )
     out, sums = pl.pallas_call(
         kernel,
         grid=(B, nb),

@@ -57,7 +57,28 @@ def _dense(p, x):
 
 
 def _mlp(p, x):
+    # NOTE slicing the hidden into halves (no fused (.., 2C) intermediate)
+    # measured 16 ms SLOWER e2e at B=128 — the fused fc1+gelu fusion wins
     return _dense(p["fc2"], gelu(_dense(p["fc1"], x)))
+
+
+def _conv_parts(p, parts):
+    """conv(concat(parts)) as a sum of input-channel-sliced convs — the
+    concatenated tensor is never materialized (a real copy on TPU)."""
+    k = p["conv"]["kernel"]
+    kh, kw = k.shape[0], k.shape[1]
+    out = None
+    c0 = 0
+    for part in parts:
+        c1 = c0 + part.shape[-1]
+        o = jax.lax.conv_general_dilated(
+            part, k[:, :, c0:c1, :].astype(part.dtype), (1, 1),
+            [(kh // 2, kh // 2), (kw // 2, kw // 2)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        out = o if out is None else out + o
+        c0 = c1
+    return out + p["conv"]["bias"].astype(out.dtype)
 
 
 def _m2skip(p, s, xl, xs, mode):
@@ -67,16 +88,16 @@ def _m2skip(p, s, xl, xs, mode):
     else:
         a = _conv(p["convl"], xl)
         b = _conv(p["convs"], upsample2x_align_corners(xs))
-    x = jnp.concatenate([a, b], axis=-1)
-    return gelu(_bn(p["fuse_bn"], s["fuse_bn"], _conv(p["fuse_conv"], x)))
+    return gelu(_bn(p["fuse_bn"], s["fuse_bn"], _conv_parts(p["fuse_conv"], [a, b])))
 
 
 def _m3skip(p, s, xl, xm, xs):
     a = _conv(p["convl"], xl, 2)
     b = _conv(p["convm"], xm)
     c = _conv(p["convs"], upsample2x_align_corners(xs))
-    x = jnp.concatenate([a, b, c], axis=-1)
-    return gelu(_bn(p["fuse_bn"], s["fuse_bn"], _conv(p["fuse_conv"], x)))
+    return gelu(
+        _bn(p["fuse_bn"], s["fuse_bn"], _conv_parts(p["fuse_conv"], [a, b, c]))
+    )
 
 
 def _global_attention(p, x, num_heads):
@@ -100,10 +121,21 @@ def _gft(p, x, num_heads):
 
 
 def _natt(p, x, num_heads, nat_backend):
+    # NOTE a fully fused flat-block kernel exists (ops/pallas/natt_flat.py)
+    # but measured 2x SLOWER than this unfused path (55.7 vs 28.1 ms for
+    # natt4 at B=128): in-kernel C-mixing needs O(C) cross-lane rolls,
+    # and VPU lane rotations cost ~2x a plain vector op. Kept unwired as a
+    # documented negative result; C-mixing belongs on the MXU.
     emb = _conv(p["embed"]["proj"], x)
     ln1 = _ln(p["norm1"], emb)
-    qkv = _dense(p["attn"]["qkv"], ln1)
-    q, k, v = jnp.split(qkv, 3, axis=-1)
+    # weight-sliced qkv: splitting the fused (.., 3C) output costs real
+    # copies on TPU; per-slice matmuls fuse into the flat reshape for free
+    C = emb.shape[-1]
+    wq = p["attn"]["qkv"]["dense"]["kernel"].astype(ln1.dtype)
+    bq = p["attn"]["qkv"]["dense"]["bias"].astype(ln1.dtype)
+    q = ln1 @ wq[:, :C] + bq[:C]
+    k = ln1 @ wq[:, C : 2 * C] + bq[C : 2 * C]
+    v = ln1 @ wq[:, 2 * C :] + bq[2 * C :]
     rpb = p["attn"]["rpb"]
     if nat_backend == "flat":
         from lmnet_tpu.ops.pallas.nat_flat import nat_flat
@@ -205,6 +237,7 @@ def serving_evaluate(
     compute_hd95: bool = False,
     rc_backend: str = "xla",
     nat_backend: str | None = None,  # None -> flat on TPU, xla elsewhere
+    num_heads: int = 12,
 ):
     """Evaluate a *training* state through the fused serving path: reparam
     the variables once, then run ``deploy_forward`` over the loader (the
@@ -234,7 +267,8 @@ def serving_evaluate(
     @functools.partial(jax.jit, donate_argnames=("cm",))
     def step(x, y, cm):
         logits = deploy_forward(
-            deploy_vars, x, rc_backend=rc_backend, nat_backend=nat_backend
+            deploy_vars, x, num_heads=num_heads,
+            rc_backend=rc_backend, nat_backend=nat_backend,
         )
         loss = cross_entropy_loss(logits, y, (1.0, 4.0), 0.001)
         preds = jnp.argmax(logits, axis=-1)

@@ -53,7 +53,14 @@ def save_checkpoint(
 
 
 def restore_checkpoint(ckpt_dir: str, name: str, state):
-    """Restore into an abstract state template. Returns (state, epoch)."""
+    """Restore into an abstract state template. Returns (state, epoch).
+
+    Restores to HOST numpy first, then moves the whole tree to device in
+    one batched ``jax.device_put`` (shardings taken from the template
+    state, so a replicated/distributed template restores distributed).
+    Restoring straight to device would issue one blocking transfer per
+    array — ~25 ms tunnel RTT x ~400 arrays on a remote-TPU setup.
+    """
     path = _path(ckpt_dir, name)
     with ocp.StandardCheckpointer() as ckptr:
         template = {
@@ -63,17 +70,29 @@ def restore_checkpoint(ckpt_dir: str, name: str, state):
             "batch_stats": state.batch_stats,
             "opt_state": state.opt_state,
         }
-        abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, template)
+        # shapes/dtypes only (no shardings) -> orbax returns host numpy
+        abstract = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(jax.numpy.shape(x), x.dtype)
+            if hasattr(x, "dtype")
+            else x,
+            template,
+        )
         # epoch is a python int in the payload
         abstract["epoch"] = 0
         restored = ckptr.restore(path, abstract)
+    epoch = int(restored.pop("epoch"))
+    template.pop("epoch")
+    shardings = jax.tree.map(
+        lambda t: t.sharding if hasattr(t, "sharding") else None, template
+    )
+    restored = jax.device_put(restored, shardings)
     new_state = state.replace(
         step=restored["step"],
         params=restored["params"],
         batch_stats=restored["batch_stats"],
         opt_state=restored["opt_state"],
     )
-    return new_state, int(restored["epoch"])
+    return new_state, epoch
 
 
 def checkpoint_exists(ckpt_dir: str, name: str) -> bool:

@@ -3,7 +3,11 @@
 Run on TPU: PYTHONPATH=. python perf/rc_flat_bench.py
 """
 
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

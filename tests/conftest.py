@@ -26,11 +26,45 @@ import jax.extend.backend as _jb  # noqa: E402
 
 _jb.clear_backends()
 
-jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
+# NO persistent compilation cache for CPU tests: XLA:CPU's AOT
+# serialize/load path segfaults on this CI host family after ~90 in-process
+# compilations (cpu_aot_loader logs target-machine feature mismatches such
+# as '+prefer-no-scatter', then SIGSEGVs in load — observed deterministically
+# with both stale AND freshly-written caches). Cold compiles are slower but
+# correct; the TPU-side perf scripts keep their own cache.
+jax.config.update("jax_enable_compilation_cache", False)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+# torch's OpenMP pool clashing with XLA:CPU's thread pool segfaults the
+# full suite on single-core hosts (deterministically around the 90th test);
+# pin torch to one thread before any test imports it.
+try:
+    import torch  # noqa: E402
+
+    torch.set_num_threads(1)
+except ImportError:  # torch is baked into the image, but stay safe
+    pass
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bound_live_executables():
+    """Drop jit caches between test modules.
+
+    XLA:CPU segfaults inside backend_compile_and_load once ~90 compiled
+    executables are live in one process (reproduced deterministically on
+    this host family with and without the persistent cache; crash stack is
+    always jax/_src/compiler.py:362). Bounding live executables to one
+    module's worth avoids the crash; recompiles across modules are already
+    the norm since modules compile distinct functions.
+    """
+    yield
+    import gc
+
+    jax.clear_caches()
+    gc.collect()
 
 
 @pytest.fixture

@@ -1,0 +1,78 @@
+"""End-to-end CLI test: train -> CSV/checkpoints -> resume -> test -> viz.
+
+Exercises ``cli/train.py::main`` unmocked on the synthetic dataset with a
+tiny model config (VERDICT round-1 item 5) — the full reference mode surface
+(/root/reference/train.py:139-241): default train loop, --resume, --test
+(incl. --hd95 and --serve), --visualization.
+"""
+
+import csv
+import os
+
+import pytest
+
+from lmnet_tpu.cli import train as cli
+
+
+def _base_argv(tmp_path, epochs):
+    # lr 0.02: reaches val IoU > 0 by epoch 2 on the synthetic task, so the
+    # best-checkpoint contract (written only on IoU improvement) is exercised
+    return [
+        "--synthetic", "--k_fold", "False",
+        "--epochs", str(epochs), "--lr", "0.02",
+        "--batch_size", "2", "--img_size", "32",
+        "--filters", "4,8,12,16,24", "--num_heads", "2",
+        "--ckpt_dir", str(tmp_path / "ckpt"),
+        "--out_dir", str(tmp_path / "out"),
+        "--seed", "42",
+    ]
+
+
+def _rows(path):
+    with open(path, encoding="utf-8") as f:
+        return [r for r in csv.reader(f) if r]
+
+
+@pytest.mark.slow
+def test_cli_end_to_end(tmp_path, capsys):
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+
+    # --- train 3 epochs -------------------------------------------------
+    cli.main(_base_argv(tmp_path, 3))
+    per_epoch = out / "LM_NetKvasir_0.csv"
+    assert per_epoch.exists()
+    rows = _rows(per_epoch)
+    assert len(rows) == 3 and all(len(r) == 16 for r in rows)
+    assert all(float(v) == float(v) for r in rows for v in r)  # no NaNs
+    best = _rows(out / "LM_NetKvasirbestresult_0.csv")
+    assert len(best) == 1 and len(best[0]) == 16
+    assert (ckpt / "LM_NetKvasir_0_checkpoint").exists()
+    assert (ckpt / "LM_NetKvasirbest_0").exists()
+
+    # --- resume to epoch 4 ------------------------------------------------
+    cli.main(_base_argv(tmp_path, 4) + ["--resume"])
+    assert "resumed fold 0 at epoch 3" in capsys.readouterr().out
+    rows = _rows(per_epoch)
+    assert len(rows) == 4 and all(len(r) == 16 for r in rows)
+
+    # --- test mode (+hd95): appends one 9-col row ------------------------
+    cli.main(_base_argv(tmp_path, 4) + ["--test", "--hd95"])
+    test_csv = out / "LM_NetKvasirtest_rvd_class.csv"
+    trows = _rows(test_csv)
+    assert len(trows) == 1 and len(trows[0]) == 9
+
+    # --- test mode through the serving engine ----------------------------
+    cli.main(_base_argv(tmp_path, 4) + ["--test", "--serve"])
+    trows = _rows(test_csv)
+    assert len(trows) == 2 and len(trows[1]) == 8
+    # fused serving path agrees with the flax eval path on loss/dice
+    flax_loss = float(trows[0][0])
+    serve_loss = float(trows[1][0])
+    assert abs(flax_loss - serve_loss) <= max(0.05 * abs(flax_loss), 0.05)
+    assert abs(float(trows[0][5]) - float(trows[1][5])) <= 0.02  # dice
+
+    # --- visualization mode ----------------------------------------------
+    cli.main(_base_argv(tmp_path, 4) + ["--visualization"])
+    viz = out / "viz"
+    assert viz.exists() and len(os.listdir(viz)) > 0

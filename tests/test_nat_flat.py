@@ -66,6 +66,43 @@ def test_nat_flat_grad_matches_xla_reference(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4)
 
 
+@pytest.mark.parametrize(
+    "hw,heads,hd",
+    [
+        ((32, 8), 3, 1),   # multi-stripe (rows=16, nb=2): cross-stripe halo adjoint
+        ((16, 8), 2, 4),   # segment-tree reduction in both directions
+        ((8, 8), 2, 2),    # single stripe: top+bottom fixups share one stripe
+        ((16, 4), 1, 4),   # narrow W: border columns adjacent to each other
+    ],
+)
+def test_nat_flat_bwd_kernel_matches_xla_vjp(rng, hw, heads, hd):
+    """Fused Pallas backward (interpret) == vjp of the XLA reference, for
+    dq, dk, dv AND drpb (incl. border row/col cases via the halo combine
+    and the flat-bias unflatten adjoint)."""
+    from lmnet_tpu.ops.pallas.nat_flat import _nat_flat_ref, nat_flat_bwd
+
+    H, W = hw
+    C = heads * hd
+    B = 2
+    scale = float(hd) ** -0.5
+    q = jnp.asarray(rng.randn(B, H, W * C), jnp.float32)
+    k = jnp.asarray(rng.randn(B, H, W * C), jnp.float32)
+    v = jnp.asarray(rng.randn(B, H, W * C), jnp.float32)
+    rpb = jnp.asarray(rng.randn(heads, 5, 5) * 0.3, jnp.float32)
+    g = jnp.asarray(rng.randn(B, H, W * C), jnp.float32)
+
+    got = nat_flat_bwd(q, k, v, rpb, g, heads, C, W, scale, interpret=True)
+    _, vjp = jax.vjp(
+        lambda q, k, v, rpb: _nat_flat_ref(q, k, v, rpb, heads, C, W, scale),
+        q, k, v, rpb,
+    )
+    want = vjp(g)
+    for name, a, b in zip(("dq", "dk", "dv", "drpb"), got, want):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4, err_msg=name
+        )
+
+
 def test_nat_flat_small_h_fallback(rng):
     """H < 8 falls back to the XLA formulation (still correct)."""
     H, W, heads = 4, 8, 2
