@@ -44,13 +44,13 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
     from lmnet_tpu.models import LMNet, structural_reparam
+    from lmnet_tpu.serve.engine import deploy_forward
 
     train_model = LMNet(num_classes=2)
     variables = jax.jit(
         lambda k: train_model.init(k, jnp.zeros((1, 64, 64, 3)), train=False)
     )(jax.random.key(0))
     deploy_vars = structural_reparam(variables)
-    model = LMNet(num_classes=2, deploy=True, dtype=jnp.bfloat16)
 
     # tunnel round-trip estimate
     f0 = jax.jit(lambda z: z + 1.0)
@@ -64,7 +64,11 @@ def main():
 
     def chain(x):
         def body(i, acc):
-            y = model.apply(deploy_vars, x + acc.astype(x.dtype) * 1e-20, train=False)
+            # serving engine: measured faster than flax apply (1341 vs
+            # 1331 img/s) once its SE-weight dtype leak was fixed
+            y = deploy_forward(
+                deploy_vars, x + acc.astype(x.dtype) * 1e-20, nat_backend="flat"
+            )
             return acc + jnp.sum(y)
 
         return jax.lax.fori_loop(0, ITERS, body, jnp.zeros(()))
@@ -114,7 +118,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "inference images/sec/chip @256x256 bf16 (batch 128, deploy-fused, flat-layout NAT)",
+                "metric": "inference images/sec/chip @256x256 bf16 (batch 128, serving engine, flat-layout NAT)",
                 "value": round(best, 1),
                 "unit": "img/s",
                 "vs_baseline": round(best / A100_EST_IMG_S, 3),

@@ -187,9 +187,18 @@ def deploy_forward(
         ) + blk["fuse_conv"]["conv"]["bias"].astype(e.dtype)
         t = gelu(t)
         se = blk["se"]  # SE fc1/fc2 are plain nn.Conv 1x1 (kernel (1,1,Cin,Cout))
+        # keep the compute dtype: raw f32 SE weights would promote t — and
+        # every downstream block — to f32 (2.4x slower serve, VMEM OOM in
+        # the f32 NAT kernel; found via jaxpr dtype audit)
         m = jnp.mean(t, axis=(1, 2), keepdims=True)
-        m = jax.nn.relu(m @ se["fc1"]["kernel"][0, 0] + se["fc1"]["bias"])
-        sc = jax.nn.hard_sigmoid(m @ se["fc2"]["kernel"][0, 0] + se["fc2"]["bias"])
+        m = jax.nn.relu(
+            m @ se["fc1"]["kernel"][0, 0].astype(m.dtype)
+            + se["fc1"]["bias"].astype(m.dtype)
+        )
+        sc = jax.nn.hard_sigmoid(
+            m @ se["fc2"]["kernel"][0, 0].astype(m.dtype)
+            + se["fc2"]["bias"].astype(m.dtype)
+        )
         t = t * sc
         return _conv(blk["pointwise_conv"], t) + _conv(blk["shortcut"], h)
 
