@@ -78,8 +78,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--apm", action="store_true", default=False,
                    help="mixed precision: bf16 compute policy (AMP analogue)")
     p.add_argument("--plot", action="store_true", default=False)
+    p.add_argument("--plot_datasets", type=str, default="Kvasir,Basic,BUSI",
+                   help="comma-separated datasets for the comparative "
+                        "--plot figure (reference train.py:57)")
     p.add_argument("--distributed", type=str2bool, default=False,
                    help="shard batches over a ('data','spatial') device mesh")
+    p.add_argument("--n_spatial", type=int, default=0,
+                   help="devices on the mesh 'spatial' axis (image-H "
+                        "sharding; the vision twin of sequence parallelism). "
+                        "0 = auto: 1 normally, 2 at --img_size >= 512 where "
+                        "per-chip HBM is the constraint (requires "
+                        "--distributed and a device count divisible by it)")
     p.add_argument("--k_fold", type=str2bool, default=True)
     p.add_argument("--hd95", action="store_true", default=False,
                    help="report 95th-pct Hausdorff distance on eval/test")
@@ -94,6 +103,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--out_dir", type=str, default="results")
     p.add_argument("--synthetic", action="store_true", default=False,
                    help="use the synthetic dataset (smoke tests, no files needed)")
+    p.add_argument("--native_cache", action="store_true", default=False,
+                   help="decode each image once into a binary cache, then "
+                        "stream batches via the mmap'd C++ loader (replaces "
+                        "the reference's 10-worker re-decoding DataLoader, "
+                        "train.py:128-133); falls back to the threaded "
+                        "Python loader if no C++ toolchain is available")
+    p.add_argument("--cache_dir", type=str, default="native_cache")
     p.add_argument("--filters", type=str, default=None,
                    help="comma-separated per-stage channel plan "
                         "(default: the reference's 12,24,48,96,192)")
@@ -133,10 +149,28 @@ def _datasets(args, fold: int):
     return train, val, test
 
 
+_warned_no_native = False
+
+
 def _loaders(args, datasets, epoch: int):
     from lmnet_tpu.data.datasets import make_loader
 
     train, val, test = datasets
+    if args.native_cache:
+        from lmnet_tpu.data import native_loader as nl
+
+        if nl.native_available():
+            mkn = lambda ds, sh, ep: nl.make_native_loader(
+                ds, args.cache_dir, args.batch_size, shuffle=sh,
+                seed=args.seed, epoch=ep, num_threads=args.num_workers,
+                drop_last=sh,
+            )
+            return mkn(train, True, epoch), mkn(val, False, 0), mkn(test, False, 0)
+        global _warned_no_native
+        if not _warned_no_native:
+            _warned_no_native = True
+            print("--native_cache: C++ loader unavailable; using the "
+                  "threaded Python loader")
     mk = lambda ds, sh, ep: make_loader(
         ds, args.batch_size, shuffle=sh, seed=args.seed, epoch=ep,
         num_threads=args.num_workers, drop_last=sh,
@@ -158,10 +192,21 @@ def main_single(fold: int, args) -> dict:
     steps_per_epoch = max(len(datasets[0]) // args.batch_size, 1)
 
     mesh = None
+    use_spatial = False
     if args.distributed:
         from lmnet_tpu.parallel.mesh import make_mesh
 
-        mesh = make_mesh(n_spatial=1)
+        n_spatial = args.n_spatial
+        if n_spatial == 0:  # auto: spatial-shard only at 512²-class sizes
+            n_dev = jax.device_count()
+            n_spatial = 2 if (args.img_size >= 512 and n_dev % 2 == 0) else 1
+        if jax.device_count() % max(n_spatial, 1):
+            raise SystemExit(
+                f"--n_spatial {n_spatial} must divide the device count "
+                f"{jax.device_count()}"
+            )
+        mesh = make_mesh(n_spatial=max(n_spatial, 1))
+        use_spatial = n_spatial > 1
         n_data = mesh.shape["data"]
         if args.batch_size % n_data:
             raise SystemExit(
@@ -202,14 +247,18 @@ def main_single(fold: int, args) -> dict:
     os.makedirs(args.out_dir, exist_ok=True)
 
     start_epoch = 0
+    resumed_best_iou = 0.0
     if args.resume and ckpt.checkpoint_exists(args.ckpt_dir, rolling):
-        state, last_epoch = ckpt.restore_checkpoint(args.ckpt_dir, rolling, state)
+        state, last_epoch, resumed_best_iou = ckpt.restore_checkpoint(
+            args.ckpt_dir, rolling, state
+        )
         start_epoch = last_epoch + 1
-        print(f"resumed fold {fold} at epoch {start_epoch}")
+        print(f"resumed fold {fold} at epoch {start_epoch} "
+              f"(best_iou {resumed_best_iou:.4f})")
 
     if args.visualization:
         if ckpt.checkpoint_exists(args.ckpt_dir, best_name):
-            state, _ = ckpt.restore_checkpoint(args.ckpt_dir, best_name, state)
+            state, _, _ = ckpt.restore_checkpoint(args.ckpt_dir, best_name, state)
         _, _, test_loader = _loaders(args, datasets, 0)
         n = visualize(state, test_loader, os.path.join(args.out_dir, "viz"),
                       args.num_classes, args.img_size)
@@ -218,7 +267,7 @@ def main_single(fold: int, args) -> dict:
 
     if args.test:
         if ckpt.checkpoint_exists(args.ckpt_dir, rolling):
-            state, _ = ckpt.restore_checkpoint(args.ckpt_dir, rolling, state)
+            state, _, _ = ckpt.restore_checkpoint(args.ckpt_dir, rolling, state)
         _, _, test_loader = _loaders(args, datasets, 0)
         if args.serve:
             from lmnet_tpu.serve.engine import serving_evaluate
@@ -230,7 +279,7 @@ def main_single(fold: int, args) -> dict:
         else:
             test_loss, m = evaluate(
                 state, test_loader, args.num_classes, args.img_size,
-                compute_hd95=args.hd95, mesh=mesh,
+                compute_hd95=args.hd95, mesh=mesh, spatial=use_spatial,
             )
         names = ["loss", "accuracy", "precision", "recall",
                  "specificity", "dice", "iou", "mean_iou"]
@@ -244,18 +293,21 @@ def main_single(fold: int, args) -> dict:
                 csv.writer(fw).writerow(f"{e:.4f}" for e in row)
         return dict(zip(names, row))
 
-    best_iou = 0.0
+    # resume restores the watermark so a worse post-resume epoch can't
+    # overwrite the best checkpoint (fixes reference train.py:231-238)
+    best_iou = resumed_best_iou
     last_metrics: dict = {}
     for epoch in range(start_epoch, args.epochs):
         print(f"epoch:{epoch + 1}")
         train_loader, val_loader, _ = _loaders(args, datasets, epoch)
         rng = jax.random.fold_in(jax.random.key(args.seed), epoch)
         state, train_loss, tm = train_one_epoch(
-            state, train_loader, rng, args.num_classes, args.img_size, mesh=mesh
+            state, train_loader, rng, args.num_classes, args.img_size,
+            mesh=mesh, spatial=use_spatial,
         )
         val_loss, vm = evaluate(
             state, val_loader, args.num_classes, args.img_size,
-            compute_hd95=args.hd95, mesh=mesh,
+            compute_hd95=args.hd95, mesh=mesh, spatial=use_spatial,
         )
         print(
             " train_loss:{:.4f} train_dice:{:.4f} train_iou:{:.4f} "
@@ -274,11 +326,16 @@ def main_single(fold: int, args) -> dict:
             with open(os.path.join(args.out_dir, f"{tag}_{fold}.csv"),
                       "a", encoding="utf-8", newline="") as fw:
                 csv.writer(fw).writerow(f"{e:.4f}" for e in row)
-            ckpt.save_checkpoint(args.ckpt_dir, rolling, state, epoch)
+            ckpt.save_checkpoint(
+                args.ckpt_dir, rolling, state, epoch,
+                best_iou=max(best_iou, vm["iou"]),
+            )
         if vm["iou"] > best_iou:
             best_iou = vm["iou"]
             if is_main_process():
-                ckpt.save_checkpoint(args.ckpt_dir, best_name, state, epoch)
+                ckpt.save_checkpoint(
+                    args.ckpt_dir, best_name, state, epoch, best_iou=best_iou
+                )
                 with open(os.path.join(args.out_dir, f"{tag}bestresult_{fold}.csv"),
                           "w", encoding="utf-8", newline="") as fw:
                     csv.writer(fw).writerow(f"{e:.4f}" for e in row)
@@ -287,23 +344,86 @@ def main_single(fold: int, args) -> dict:
     return last_metrics
 
 
-def plot_curves(args) -> None:
-    """mDice curves across models/datasets from the per-fold CSVs
-    (reference plot mode, train.py:44-106)."""
+# display-name mapping from the reference's plot mode (train.py:63-86)
+_MODEL_DISPLAY = {
+    "my_unet": "LM-Net", "LM_Net": "LM-Net", "unet": "Unet",
+    "unet++": "Unet++", "att_unet": "AttUnet", "res_unet": "ResUnet",
+    "res_unet++": "ResUnet++", "trans_unet": "TransUnet",
+    "res50+trans_unet": "R50-TransUnet", "uctrans_net": "UCTransNet",
+    "swin_unet": "Swin-Unet", "deeplabv3+": "Deeplabv3+",
+    "FCN_ResNet50": "FCN",
+}
+_DATASET_DISPLAY = {"Basic": "LGG", "BUSI": "Breast Ultrasound"}
+
+
+def _val_dice_column(path: str) -> list[float]:
+    rows = list(csv.reader(open(path)))
+    # val mDice is the 3rd-from-last of the 16-column row (reference
+    # ``data.iloc[:, -3]``, train.py:61)
+    return [float(r[-3]) for r in rows if len(r) >= 16]
+
+
+def plot_curves(args, fold: int = 0) -> None:
+    """Comparative validation-mDice figure (reference plot mode,
+    train.py:44-106): one subplot per dataset, one curve per model, read
+    from ``{model}{dataset}_{fold}.csv`` in ``--out_dir``.
+
+    Datasets with no matching CSVs are skipped; if nothing matches the
+    multi-dataset layout, falls back to a single-axis plot of every
+    per-fold CSV found (still covers ad-hoc runs). Fonts are the
+    defaults — the reference's absolute Times New Roman font path is the
+    kind of environment-specific defect this rebuild drops.
+    """
+    import glob
+    import re
+
     import matplotlib
 
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
-    fig, ax = plt.subplots(figsize=(8, 5))
-    import glob
+    datasets = [d for d in args.plot_datasets.split(",") if d]
+    # find models per dataset: files named {model}{dataset}_{fold}.csv
+    per_dataset: dict[str, list[tuple[str, str]]] = {}
+    for ds in datasets:
+        pat = os.path.join(args.out_dir, f"*{ds}_{fold}.csv")
+        found = []
+        for path in sorted(glob.glob(pat)):
+            stem = os.path.basename(path)[: -len(f"{ds}_{fold}.csv")]
+            if re.search(r"(bestresult|test)$", stem):
+                continue
+            found.append((stem, path))
+        if found:
+            per_dataset[ds] = found
 
+    if per_dataset:
+        n = len(per_dataset)
+        fig, axs = plt.subplots(1, n, figsize=(8 * n, 5), squeeze=False)
+        for ax, (ds, entries) in zip(axs[0], per_dataset.items()):
+            for model, path in entries:
+                curve = _val_dice_column(path)
+                if curve:
+                    ax.plot(curve, label=_MODEL_DISPLAY.get(model, model),
+                            linewidth=2)
+            ax.legend(fontsize=8)
+            ax.set_title(
+                "Validation mDice on the "
+                f"{_DATASET_DISPLAY.get(ds, ds)} dataset"
+            )
+        fig.supxlabel("Epochs")
+        fig.supylabel("mDice")
+        fig.tight_layout()
+        out = os.path.join(args.out_dir, "Validation_mDice_curves.png")
+        fig.savefig(out, dpi=150)
+        print(f"wrote {out}")
+        return
+
+    # fallback: single-axis plot of whatever per-fold CSVs exist
+    fig, ax = plt.subplots(figsize=(8, 5))
     for path in sorted(glob.glob(os.path.join(args.out_dir, "*_[0-9].csv"))):
-        rows = list(csv.reader(open(path)))
-        if not rows:
-            continue
-        val_dice = [float(r[13]) for r in rows if len(r) >= 16]
-        ax.plot(val_dice, label=os.path.basename(path)[:-4])
+        curve = _val_dice_column(path)
+        if curve:
+            ax.plot(curve, label=os.path.basename(path)[:-4])
     ax.set_xlabel("epoch")
     ax.set_ylabel("val mDice")
     ax.legend(fontsize=6)

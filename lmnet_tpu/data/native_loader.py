@@ -40,7 +40,7 @@ def _ensure_lib() -> str:
         tmp = f"{lib}.tmp.{os.getpid()}"
         subprocess.run(
             ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
-             _SRC, "-o", tmp],
+             _SRC, "-o", tmp, "-ljpeg"],
             check=True,
         )
         os.replace(tmp, lib)
@@ -78,8 +78,57 @@ def _load():
         ]
         lib.lm_close.restype = None
         lib.lm_close.argtypes = [ctypes.c_void_p]
+        lib.lm_build_cache_jpeg.restype = ctypes.c_long
+        lib.lm_build_cache_jpeg.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.c_long,
+            ctypes.c_long,
+            ctypes.c_char_p,
+            ctypes.c_int,
+        ]
         _lib_handle = lib
     return _lib_handle
+
+
+def build_cache_jpeg(
+    image_paths: list[str], mask_paths: list[str], size: int, out_path: str,
+    num_threads: int = 4,
+) -> str:
+    """Native decode stage: libjpeg decode + resize + threshold straight
+    into the cache layout — no Python per sample (see loader.cpp
+    ``lm_build_cache_jpeg``). All paths must be JPEG."""
+    lib = _load()
+    n = len(image_paths)
+    assert n == len(mask_paths) and n > 0
+    imgs = (ctypes.c_char_p * n)(*[p.encode() for p in image_paths])
+    msks = (ctypes.c_char_p * n)(*[p.encode() for p in mask_paths])
+    tmp = out_path + ".tmp"
+    rc = lib.lm_build_cache_jpeg(imgs, msks, n, size, tmp.encode(), num_threads)
+    if rc != 0:
+        if os.path.exists(tmp):
+            os.remove(tmp)
+        raise OSError(
+            f"native JPEG cache build failed at sample {rc - 1} "
+            f"({image_paths[rc - 1] if rc > 0 else 'io error'})"
+        )
+    os.replace(tmp, out_path)
+    return out_path
+
+
+def _jpeg_paths(dataset):
+    """(image_paths, mask_paths) if the dataset is a JPEG-file manifest
+    dataset eligible for the native decode stage, else None."""
+    df = getattr(dataset, "df", None)
+    if df is None or getattr(dataset, "mask_mode", None) != "binary":
+        return None
+    try:
+        rows = [dataset._resolve(df.iloc[i], "images") for i in range(len(df))]
+        masks = [dataset._resolve(df.iloc[i], "masks") for i in range(len(df))]
+    except Exception:
+        return None
+    ok = all(p.lower().endswith((".jpg", ".jpeg")) for p in rows + masks)
+    return (rows, masks) if ok else None
 
 
 def build_cache(dataset, out_path: str) -> str:
@@ -103,6 +152,65 @@ def build_cache(dataset, out_path: str) -> str:
             f.write(np.ascontiguousarray(mask, dtype=np.uint8).tobytes())
     os.replace(tmp, out_path)
     return out_path
+
+
+def dataset_cache_key(dataset) -> str:
+    """Content-derived cache id: manifests, mode, sizes — a changed split or
+    size never reuses a stale cache file."""
+    h = hashlib.sha256()
+    if hasattr(dataset, "df"):
+        h.update(str(sorted(map(tuple, dataset.df.values.tolist()))).encode())
+        h.update(
+            f"{dataset.mode}:{dataset.img_size}:{dataset.load_size}:"
+            f"{dataset.mask_mode}:{dataset.root}".encode()
+        )
+    else:
+        h.update(
+            repr((
+                type(dataset).__name__, len(dataset),
+                getattr(dataset, "img_size", 0), getattr(dataset, "mode", ""),
+                getattr(dataset, "seed", 0), getattr(dataset, "_offset", 0),
+                getattr(dataset, "_stride", 1),
+            )).encode()
+        )
+    return h.hexdigest()[:16]
+
+
+_open_loaders: dict[str, "NativeCacheLoader"] = {}
+
+
+def make_native_loader(
+    dataset,
+    cache_dir: str,
+    batch_size: int,
+    shuffle: bool = False,
+    seed: int = 0,
+    epoch: int = 0,
+    num_threads: int = 4,
+    drop_last: bool = False,
+):
+    """Drop-in replacement for ``datasets.make_loader`` through the native
+    path: build the binary cache once (first call decodes with the dataset's
+    own ``__getitem__``), then stream every epoch via the mmap'd C++ library.
+    Loader handles are kept open across epochs (one mmap per cache file).
+    """
+    os.makedirs(cache_dir, exist_ok=True)
+    path = os.path.join(cache_dir, f"lmnet_{dataset_cache_key(dataset)}.bin")
+    if not os.path.exists(path):
+        jpaths = _jpeg_paths(dataset)
+        if jpaths is not None:
+            # all-JPEG manifest: decode natively (libjpeg), no Python/cv2
+            size = (
+                dataset.load_size if dataset.mode == "train" else dataset.img_size
+            )
+            build_cache_jpeg(*jpaths, size, path, num_threads=num_threads)
+        else:
+            build_cache(dataset, path)
+    if path not in _open_loaders:
+        _open_loaders[path] = NativeCacheLoader(path, num_threads=num_threads)
+    return _open_loaders[path].epoch(
+        batch_size, shuffle=shuffle, seed=seed, epoch=epoch, drop_last=drop_last
+    )
 
 
 class NativeCacheLoader:

@@ -5,6 +5,8 @@ from lmnet_tpu.losses.losses import (
     dice_loss,
     effective_number_weights,
     focal_loss,
+    focal_loss_per_class,
+    sigmoid_focal_loss,
     mmseg_binary_dice_loss,
     mmseg_dice_loss,
     official_dice_loss,
@@ -18,6 +20,8 @@ __all__ = [
     "dice_loss",
     "effective_number_weights",
     "focal_loss",
+    "focal_loss_per_class",
+    "sigmoid_focal_loss",
     "mmseg_binary_dice_loss",
     "mmseg_dice_loss",
     "official_dice_loss",

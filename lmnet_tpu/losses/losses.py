@@ -131,6 +131,53 @@ def focal_loss(
     return loss / jnp.sum(labels)
 
 
+def sigmoid_focal_loss(
+    logits: jnp.ndarray,
+    targets: jnp.ndarray,
+    alpha: float = 0.25,
+    gamma: float = 2.0,
+    reduction: str = "mean",
+) -> jnp.ndarray:
+    """torchvision.ops.sigmoid_focal_loss semantics (the op the reference's
+    per-class FocalLoss wrapper calls — utils/loss.py:5,135-137):
+    BCE(logits, t) * (1 - p_t)^gamma, alpha-balanced, optional reduction."""
+    p = jax.nn.sigmoid(logits)
+    bce = jnp.maximum(logits, 0) - logits * targets + jnp.log1p(
+        jnp.exp(-jnp.abs(logits))
+    )
+    p_t = p * targets + (1.0 - p) * (1.0 - targets)
+    loss = bce * (1.0 - p_t) ** gamma
+    if alpha >= 0:
+        loss = (alpha * targets + (1.0 - alpha) * (1.0 - targets)) * loss
+    if reduction == "mean":
+        return jnp.mean(loss)
+    if reduction == "sum":
+        return jnp.sum(loss)
+    return loss
+
+
+def focal_loss_per_class(
+    logits: jnp.ndarray,
+    labels: jnp.ndarray,
+    alpha: float = 0.25,
+    gamma: float = 2.0,
+) -> jnp.ndarray:
+    """The reference's second focal variant, class FocalLoss
+    (utils/loss.py:126-148): sum over classes of mean sigmoid focal loss of
+    the class-c logit map against the binary (labels == c) target.
+
+    ``logits``: (B, H, W, C); ``labels``: (B, H, W) ints.
+    """
+    num_classes = logits.shape[-1]
+    loss = jnp.float32(0.0)
+    for c in range(num_classes):
+        target_c = (labels == c).astype(jnp.float32)
+        loss = loss + sigmoid_focal_loss(
+            logits[..., c], target_c, alpha, gamma, "mean"
+        )
+    return loss
+
+
 def effective_number_weights(
     samples_per_class: Sequence[float], beta: float = 0.9999
 ) -> jnp.ndarray:

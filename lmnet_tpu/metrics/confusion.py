@@ -91,10 +91,128 @@ def relative_volume_difference(pred: np.ndarray, target: np.ndarray) -> float:
     return (vol_p - vol_t) / vol_t
 
 
+class MetricTracker:
+    """Running average meter (reference ``utils/metrics.py:90-106``)."""
+
+    def __init__(self):
+        self.reset()
+
+    def reset(self) -> None:
+        self.val = 0.0
+        self.avg = 0.0
+        self.sum = 0.0
+        self.count = 0
+
+    def update(self, val: float, n: int = 1) -> None:
+        self.val = val
+        self.sum += val * n
+        self.count += n
+        self.avg = self.sum / self.count
+
+
+def per_class_confusion(
+    truth: np.ndarray, pred: np.ndarray, c: int = 1, dtype=np.float64
+):
+    """Per-image tp/tn/fp/fn counts for class ``c`` on (B, H, W) label maps
+    (reference ``utils/metrics.py:25-40`` ``ConfusionMatrix``). Returns four
+    (B,) arrays."""
+    gt = np.equal(truth, c)
+    pd = np.equal(pred, c)
+    tp = np.logical_and(pd, gt).sum((1, 2)).astype(dtype)
+    tn = np.logical_and(~pd, ~gt).sum((1, 2)).astype(dtype)
+    fp = np.logical_and(pd, ~gt).sum((1, 2)).astype(dtype)
+    fn = np.logical_and(~pd, gt).sum((1, 2)).astype(dtype)
+    return tp, tn, fp, fn
+
+
+def multi_class_confusion(
+    truth: np.ndarray, pred: np.ndarray, n_classes: int = 2
+):
+    """(B, C) tp/tn/fp/fn stacks over all classes (reference
+    ``utils/metrics.py:5-10`` ``get_multi_ConfusionMatrix``)."""
+    batch = truth.shape[0]
+    tp = np.zeros((batch, n_classes))
+    tn = np.zeros((batch, n_classes))
+    fp = np.zeros((batch, n_classes))
+    fn = np.zeros((batch, n_classes))
+    for c in range(n_classes):
+        tp[:, c], tn[:, c], fp[:, c], fn[:, c] = per_class_confusion(
+            truth, pred, c=c
+        )
+    return tp, tn, fp, fn
+
+
+def binary_eval(truth: np.ndarray, pred: np.ndarray):
+    """Batch-summed (acc, prec, recall, dice, iou) for the foreground class
+    (reference ``utils/metrics.py:79-86``). Per the reference's ``my_*``
+    helpers (:42-78), any 0/0 ratio resolves to 1 before summing."""
+    tp, tn, fp, fn = per_class_confusion(truth, pred, c=1)
+
+    def safe_one(num, den):
+        return np.divide(num, den, out=np.ones_like(num), where=den != 0.0)
+
+    acc = ((tp + tn) / (tp + tn + fp + fn)).sum()
+    prec = safe_one(tp, tp + fp).sum()
+    recall = safe_one(tp, tp + fn).sum()
+    dice = safe_one(2 * tp, 2 * tp + fp + fn).sum()
+    iou = safe_one(tp, tp + fp + fn).sum()
+    return acc, prec, recall, dice, iou
+
+
+def multi_eval(truth: np.ndarray, pred: np.ndarray, n_classes: int = 2):
+    """Batch-summed class-nanmean (acc, prec, recall, dice, iou) (reference
+    ``utils/metrics.py:11-24``): 0/0 classes are nan and drop out of the
+    per-image class mean."""
+    tp, tn, fp, fn = multi_class_confusion(truth, pred, n_classes)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        acc = (tp + tn) / (tp + tn + fp + fn)
+        prec = tp / (tp + fp)
+        recall = tp / (tp + fn)
+        dice = 2 * tp / (2 * tp + fp + fn)
+        iou = tp / (tp + fp + fn)
+    return tuple(
+        float(np.nanmean(m, 1).sum()) for m in (acc, prec, recall, dice, iou)
+    )
+
+
+def binary_iou(
+    predictions: jnp.ndarray, labels: jnp.ndarray, e: float = 1e-7
+) -> jnp.ndarray:
+    """Per-image smoothed binary IoU on probability/score maps
+    (reference ``utils/metrics.py:139-148`` ``iou_pytorch``): threshold at
+    0.5, IoU = (|p & t| + e) / (|p | t| + e). (B, H, W) -> (B,)."""
+    p = (predictions > 0.5).astype(jnp.float32)
+    t = (labels != 0).astype(jnp.float32)
+    inter = jnp.sum(p * t, axis=(1, 2))
+    union = jnp.sum(jnp.maximum(p, t), axis=(1, 2))
+    return (inter + e) / (union + e)
+
+
+def binary_dice(
+    predictions: jnp.ndarray, labels: jnp.ndarray, e: float = 1e-7
+) -> jnp.ndarray:
+    """Per-image smoothed binary Dice (reference ``utils/metrics.py:151-159``
+    ``dice_pytorch``). (B, H, W) -> (B,)."""
+    p = (predictions > 0.5).astype(jnp.float32)
+    t = (labels != 0).astype(jnp.float32)
+    inter = jnp.sum(p * t, axis=(1, 2))
+    return (2.0 * inter + e) / (
+        jnp.sum(p, axis=(1, 2)) + jnp.sum(t, axis=(1, 2)) + e
+    )
+
+
+# reference-name aliases for drop-in compatibility
+ConfusionMatrix = per_class_confusion
+get_multi_ConfusionMatrix = multi_class_confusion
+iou_pytorch = binary_iou
+dice_pytorch = binary_dice
+
+
 class Evaluator:
     """Numpy confusion-matrix evaluator, API-parity with the reference's
-    latent engine (utils/metrics.py:162-222): add_batch + Accuracy / Recall /
-    Precision / Specificity / Dice / Mean_Dice / MIoU / FWIoU."""
+    latent engine (utils/metrics.py:162-222): add_batch + Accuracy /
+    Mean_Accuracy / Recall / Mean_Recall / Precision / Specificity / Dice /
+    Mean_Dice / MIoU / FWIoU."""
 
     def __init__(self, num_class: int):
         self.num_class = num_class
@@ -127,9 +245,25 @@ class Evaluator:
         cm = self.confusion_matrix
         return float(np.diag(cm).sum() / cm.sum())
 
+    def Mean_Accuracy(self) -> float:
+        """nanmean of per-class diag / GRAND total — the reference divides by
+        ``confusion_matrix.sum()`` (utils/metrics.py:169-172), not row sums;
+        reproduced as-is for parity."""
+        cm = self.confusion_matrix
+        with np.errstate(divide="ignore", invalid="ignore"):
+            acc = np.diag(cm) / cm.sum()
+        return float(np.nanmean(acc))
+
     def Recall(self) -> float:  # foreground class
         tp, fp, fn, tn = self._counts
         return float(tp[1] / max(tp[1] + fn[1], 1e-12))
+
+    def Mean_Recall(self) -> float:
+        """nanmean of per-class recall (reference utils/metrics.py:175-178)."""
+        cm = self.confusion_matrix
+        with np.errstate(divide="ignore", invalid="ignore"):
+            recall = np.diag(cm) / cm.sum(axis=1)
+        return float(np.nanmean(recall))
 
     def Precision(self) -> float:
         tp, fp, fn, tn = self._counts

@@ -191,8 +191,10 @@ def nat_flat(q, k, v, rpb, heads: int, C: int, W: int,
     rows = 32 if H >= 32 else 8
     while H % rows:
         rows //= 2
-    # the segment shift-add/select trees require power-of-2 head_dim
-    if rows < 2 or H < 8 or (hd & (hd - 1)):
+    # the segment shift-add/select trees require power-of-2 head_dim;
+    # rows < 8 (H not divisible by 8, e.g. 224^2 inputs -> H=28 stages)
+    # cannot feed the 8-row halo edge blocks below
+    if rows < 8 or H < 8 or (hd & (hd - 1)):
         out = nat_xla.neighborhood_attention(
             q.reshape(B, H, W, C), k.reshape(B, H, W, C), v.reshape(B, H, W, C),
             rpb, 3, scale=scale,
@@ -460,7 +462,10 @@ def nat_flat_bwd(q, k, v, rpb, g, heads: int, C: int, W: int,
     while H % rows:
         rows //= 2
     hd = C // heads
-    if rows < 2 or H < 8 or W < 3 or (hd & (hd - 1)):
+    # rows < 8 (H % 8 != 0): (1, rows, WC) blocks violate Mosaic's
+    # second-minor-divisible-by-8 rule — use the XLA vjp like other
+    # unsupported shapes
+    if rows < 8 or H < 8 or W < 3 or (hd & (hd - 1)):
         _, vjp = jax.vjp(
             lambda q, k, v, rpb: _nat_flat_ref(q, k, v, rpb, heads, C, W, scale),
             q, k, v, rpb,

@@ -117,16 +117,22 @@ def adaptive_avg_pool(x: jnp.ndarray, out_hw: tuple[int, int]) -> jnp.ndarray:
     if h % oh == 0 and w % ow == 0:
         kh, kw = h // oh, w // ow
         if x.dtype == jnp.bfloat16:
-            # serving path: a strided depthwise ones-kernel conv — the
-            # reshape-mean's rank-6 view forces layout copies around the
-            # pyramid pool (measured +36 img/s e2e at B=128), and the MXU
-            # conv accumulates in fp32
-            k = jnp.full((kh, kw, 1, c), 1.0 / (kh * kw), x.dtype)
-            return jax.lax.conv_general_dilated(
+            # bf16 path (serving AND --apm training): a strided depthwise
+            # ones-kernel conv — the reshape-mean's rank-6 view forces
+            # layout copies around the pyramid pool (measured +36 img/s
+            # e2e at B=128). The kernel is exactly-representable ones and
+            # the conv accumulates in fp32; the 1/(kh*kw) scale is applied
+            # in fp32 so non-power-of-two ratios round only once at the
+            # final bf16 cast (an fp32-constant-in-bf16 kernel would be
+            # off ~0.2% for e.g. 1/9).
+            k = jnp.ones((kh, kw, 1, c), x.dtype)
+            out = jax.lax.conv_general_dilated(
                 x, k, (kh, kw), "VALID",
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
                 feature_group_count=c,
+                preferred_element_type=jnp.float32,
             )
+            return (out * (1.0 / (kh * kw))).astype(x.dtype)
         # f32/training path: reshape-mean (not reduce_window: its transpose
         # rule fails to linearize under SPMD-sharded autodiff as of jax 0.9)
         return jnp.mean(

@@ -28,13 +28,26 @@ import jax.numpy as jnp
 def init_distributed_mode(coordinator_address: str | None = None) -> None:
     """Multi-host initialization (reference :7-28, minus the NCCL dance).
 
-    Reads the standard cluster env (or the explicit coordinator address);
-    silently a no-op for single-process runs, like the reference's
-    'Not using distributed mode' branch.
+    Rendezvous env probing mirrors the reference's precedence: explicit
+    address / JAX_COORDINATOR_ADDRESS (its RANK+WORLD_SIZE branch, :8-11),
+    then SLURM (:12-14) — under SLURM, ``jax.distributed.initialize``
+    auto-detects process id/count from SLURM_PROCID/SLURM_NTASKS and the
+    coordinator from the first node of SLURM_STEP_NODELIST.  Silently a
+    no-op for single-process runs, like the reference's 'Not using
+    distributed mode' branch (:15-18).
     """
-    if coordinator_address is None and "JAX_COORDINATOR_ADDRESS" not in os.environ:
+    explicit = (
+        coordinator_address is not None
+        or "JAX_COORDINATOR_ADDRESS" in os.environ
+    )
+    slurm = "SLURM_PROCID" in os.environ and int(
+        os.environ.get("SLURM_NTASKS", "1")
+    ) > 1
+    if not (explicit or slurm):
         return
     try:
+        # under SLURM with no explicit address, let JAX's cluster
+        # auto-detection (SlurmCluster) fill in everything
         jax.distributed.initialize(coordinator_address=coordinator_address)
     except RuntimeError:
         pass  # already initialized

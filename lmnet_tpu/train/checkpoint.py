@@ -35,13 +35,21 @@ def save_checkpoint(
     name: str,
     state,
     epoch: int,
+    best_iou: float = 0.0,
     extra: dict[str, Any] | None = None,
 ) -> None:
-    """Save a rolling checkpoint (overwrites previous one of this name)."""
+    """Save a rolling checkpoint (overwrites previous one of this name).
+
+    ``best_iou`` persists the best-val-IoU watermark so ``--resume`` cannot
+    regress the best checkpoint — the reference resets it to 0 on resume
+    (``train.py:231-238``), a defect this rebuild fixes per its stated
+    policy (SURVEY Appendix A).
+    """
     path = _path(ckpt_dir, name)
     with ocp.StandardCheckpointer() as ckptr:
         payload = {
             "epoch": epoch,
+            "best_iou": float(best_iou),
             "step": state.step,
             "params": state.params,
             "batch_stats": state.batch_stats,
@@ -53,23 +61,47 @@ def save_checkpoint(
 
 
 def restore_checkpoint(ckpt_dir: str, name: str, state):
-    """Restore into an abstract state template. Returns (state, epoch).
+    """Restore into an abstract state template. Returns
+    ``(state, epoch, best_iou)``.
 
-    Restores to HOST numpy first, then moves the whole tree to device in
-    one batched ``jax.device_put`` (shardings taken from the template
-    state, so a replicated/distributed template restores distributed).
-    Restoring straight to device would issue one blocking transfer per
-    array — ~25 ms tunnel RTT x ~400 arrays on a remote-TPU setup.
+    Single-process: restores to HOST numpy first, then moves the whole
+    tree to device in one batched ``jax.device_put`` (shardings taken
+    from the template state). Restoring straight to device would issue
+    one blocking transfer per array — ~25 ms tunnel RTT x ~400 arrays on
+    a remote-TPU setup.
+
+    Multi-process (``jax.process_count() > 1``): ``device_put`` of a full
+    host array onto non-addressable devices raises, so Orbax restores
+    sharded directly from the template's shardings instead (slower on the
+    tunnel, correct everywhere).
     """
     path = _path(ckpt_dir, name)
     with ocp.StandardCheckpointer() as ckptr:
         template = {
             "epoch": 0,
+            "best_iou": 0.0,
             "step": state.step,
             "params": state.params,
             "batch_stats": state.batch_stats,
             "opt_state": state.opt_state,
         }
+        if jax.process_count() > 1:
+            abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, template)
+            abstract["epoch"] = 0
+            abstract["best_iou"] = 0.0
+            restored = ckptr.restore(path, abstract)
+            epoch = int(restored.pop("epoch"))
+            best_iou = float(restored.pop("best_iou"))
+            return (
+                state.replace(
+                    step=restored["step"],
+                    params=restored["params"],
+                    batch_stats=restored["batch_stats"],
+                    opt_state=restored["opt_state"],
+                ),
+                epoch,
+                best_iou,
+            )
         # shapes/dtypes only (no shardings) -> orbax returns host numpy
         abstract = jax.tree.map(
             lambda x: jax.ShapeDtypeStruct(jax.numpy.shape(x), x.dtype)
@@ -77,11 +109,14 @@ def restore_checkpoint(ckpt_dir: str, name: str, state):
             else x,
             template,
         )
-        # epoch is a python int in the payload
+        # epoch / best_iou are python scalars in the payload
         abstract["epoch"] = 0
+        abstract["best_iou"] = 0.0
         restored = ckptr.restore(path, abstract)
     epoch = int(restored.pop("epoch"))
+    best_iou = float(restored.pop("best_iou"))
     template.pop("epoch")
+    template.pop("best_iou")
     shardings = jax.tree.map(
         lambda t: t.sharding if hasattr(t, "sharding") else None, template
     )
@@ -92,7 +127,7 @@ def restore_checkpoint(ckpt_dir: str, name: str, state):
         batch_stats=restored["batch_stats"],
         opt_state=restored["opt_state"],
     )
-    return new_state, epoch
+    return new_state, epoch, best_iou
 
 
 def checkpoint_exists(ckpt_dir: str, name: str) -> bool:

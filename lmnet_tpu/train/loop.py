@@ -29,6 +29,7 @@ def train_one_epoch(
     augment_on_device: bool = True,
     log_every: int = 0,
     mesh=None,
+    spatial: bool = False,
 ):
     """Run one training epoch. Returns (state, total_loss, metrics dict).
 
@@ -36,6 +37,9 @@ def train_one_epoch(
     'data' (+'spatial') axes before the step; grads/BN means become global
     automatically (XLA inserts the collectives), which is exactly the
     reference's latent DDP+syncBN intent (utils/distributed_utils.py).
+    ``spatial``: also shard the image H dimension over the mesh's 'spatial'
+    axis (halo exchanges inserted by the SPMD partitioner) — for 512²-class
+    configs where per-chip HBM, not batch, is the constraint.
     """
     cm = ConfusionAccumulator.init(num_classes)
     total_loss = 0.0
@@ -51,7 +55,7 @@ def train_one_epoch(
         if mesh is not None:
             from lmnet_tpu.parallel.mesh import shard_batch
 
-            x, y = shard_batch(mesh, x, y, spatial=False)
+            x, y = shard_batch(mesh, x, y, spatial=spatial)
         state, loss, cm = train_step(
             state, x, y, step_key, cm, num_classes=num_classes
         )
@@ -73,6 +77,7 @@ def evaluate(
     img_size: int = 256,
     compute_hd95: bool = False,
     mesh=None,
+    spatial: bool = False,
 ):
     """Run evaluation. Returns (total_ce_loss, metrics dict).
 
@@ -89,7 +94,7 @@ def evaluate(
         if mesh is not None:
             from lmnet_tpu.parallel.mesh import shard_batch
 
-            x, y = shard_batch(mesh, x, y, spatial=False)
+            x, y = shard_batch(mesh, x, y, spatial=spatial)
         loss, cm, preds = eval_step(state, x, y, cm, num_classes=num_classes)
         total_loss += loss
         if compute_hd95:

@@ -26,16 +26,35 @@ def test_dataset_choices():
         assert p.parse_args(["--dataset", name]).dataset == name
 
 
-def test_plot_mode(tmp_path):
+def _write_csv(path, epochs=3):
     import csv
 
+    with open(path, "w", newline="") as f:
+        w = csv.writer(f)
+        for e in range(epochs):
+            w.writerow([f"{0.1 * e:.4f}"] * 16)
+
+
+def test_plot_mode_comparative(tmp_path):
+    """The reference's multi-model x multi-dataset 1xN figure
+    (train.py:44-106): one subplot per dataset, one curve per model."""
     from lmnet_tpu.cli.train import plot_curves
 
-    out = tmp_path / "LM_NetKvasir_0.csv"
-    with open(out, "w", newline="") as f:
-        w = csv.writer(f)
-        for e in range(3):
-            w.writerow([f"{0.1 * e:.4f}"] * 16)
+    for model in ("LM_Net", "unet"):
+        for ds in ("Kvasir", "BUSI"):
+            _write_csv(tmp_path / f"{model}{ds}_0.csv")
+    # bestresult/test files must NOT be picked up as models
+    _write_csv(tmp_path / "LM_NetKvasirbestresult_0.csv", 1)
+    args = build_parser().parse_args(["--out_dir", str(tmp_path)])
+    plot_curves(args)
+    assert (tmp_path / "Validation_mDice_curves.png").exists()
+
+
+def test_plot_mode_fallback_single_axis(tmp_path):
+    """CSVs that don't match any --plot_datasets name still plot."""
+    from lmnet_tpu.cli.train import plot_curves
+
+    _write_csv(tmp_path / "LM_NetThyroid_0.csv")
     args = build_parser().parse_args(["--out_dir", str(tmp_path)])
     plot_curves(args)
     assert (tmp_path / "mdice_curves.png").exists()

@@ -52,7 +52,16 @@ def test_cli_end_to_end(tmp_path, capsys):
 
     # --- resume to epoch 4 ------------------------------------------------
     cli.main(_base_argv(tmp_path, 4) + ["--resume"])
-    assert "resumed fold 0 at epoch 3" in capsys.readouterr().out
+    resume_out = capsys.readouterr().out
+    assert "resumed fold 0 at epoch 3" in resume_out
+    # the best-IoU watermark is restored from the checkpoint (not reset to 0
+    # as in the reference): it must equal the max val-IoU over epochs 1-3
+    restored_best = float(
+        resume_out.split("best_iou ")[1].split(")")[0]
+    )
+    max_val_iou = max(float(r[14]) for r in rows)
+    assert abs(restored_best - max_val_iou) < 1e-3
+    assert restored_best > 0.0
     rows = _rows(per_epoch)
     assert len(rows) == 4 and all(len(r) == 16 for r in rows)
 
@@ -76,3 +85,23 @@ def test_cli_end_to_end(tmp_path, capsys):
     cli.main(_base_argv(tmp_path, 4) + ["--visualization"])
     viz = out / "viz"
     assert viz.exists() and len(os.listdir(viz)) > 0
+
+    # --- native C++ cache loader path ------------------------------------
+    # same seed + same deterministic shuffle/decode => the first epoch must
+    # produce the IDENTICAL 16-column row as the Python-loader run above
+    from lmnet_tpu.data.native_loader import native_available
+
+    if native_available():
+        nat_out = tmp_path / "nat_out"
+        cli.main(
+            _base_argv(tmp_path, 1)
+            + ["--native_cache",
+               "--cache_dir", str(tmp_path / "cache"),
+               "--out_dir", str(nat_out),
+               "--ckpt_dir", str(tmp_path / "nat_ckpt")]
+        )
+        cache_files = os.listdir(tmp_path / "cache")
+        assert any(f.startswith("lmnet_") for f in cache_files)
+        nrows = _rows(nat_out / "LM_NetKvasir_0.csv")
+        assert len(nrows) == 1 and len(nrows[0]) == 16
+        assert nrows[0] == _rows(per_epoch)[0]

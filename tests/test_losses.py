@@ -133,3 +133,51 @@ def test_mmseg_binary_dice_shape_and_range(rng):
     d = np.asarray(mmseg_binary_dice_loss(p, t, m))
     assert d.shape == (3,)
     assert (d >= 0).all() and (d <= 1).all()
+
+
+def _torch_sigmoid_focal(logits, targets, alpha=0.25, gamma=2.0):
+    """torchvision.ops.sigmoid_focal_loss reimplemented from its documented
+    formula (torchvision is not installed here)."""
+    p = torch.sigmoid(logits)
+    ce = torch.nn.functional.binary_cross_entropy_with_logits(
+        logits, targets, reduction="none"
+    )
+    p_t = p * targets + (1 - p) * (1 - targets)
+    loss = ce * ((1 - p_t) ** gamma)
+    if alpha >= 0:
+        loss = (alpha * targets + (1 - alpha) * (1 - targets)) * loss
+    return loss.mean()
+
+
+def test_sigmoid_focal_loss_matches_torch_formula(rng):
+    import jax.numpy as jnp
+
+    from lmnet_tpu.losses import sigmoid_focal_loss
+
+    x = rng.randn(4, 16).astype(np.float32) * 3
+    t = rng.randint(0, 2, size=(4, 16)).astype(np.float32)
+    want = _torch_sigmoid_focal(torch.from_numpy(x), torch.from_numpy(t))
+    got = sigmoid_focal_loss(jnp.asarray(x), jnp.asarray(t))
+    np.testing.assert_allclose(float(got), float(want), rtol=1e-5)
+
+
+def test_focal_loss_per_class_matches_reference_wrapper(rng):
+    """Per-class FocalLoss (reference utils/loss.py:126-148): sum over c of
+    mean sigmoid focal loss of channel c vs binary (target == c)."""
+    import jax.numpy as jnp
+
+    from lmnet_tpu.losses import focal_loss_per_class
+
+    B, H, W, C = 2, 8, 8, 3
+    logits = rng.randn(B, H, W, C).astype(np.float32)
+    labels = rng.randint(0, C, size=(B, H, W))
+    want = 0.0
+    for c in range(C):
+        want += float(
+            _torch_sigmoid_focal(
+                torch.from_numpy(logits[..., c]),
+                torch.from_numpy((labels == c).astype(np.float32)),
+            )
+        )
+    got = float(focal_loss_per_class(jnp.asarray(logits), jnp.asarray(labels)))
+    np.testing.assert_allclose(got, want, rtol=1e-5)

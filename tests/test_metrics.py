@@ -99,3 +99,122 @@ def test_hd95():
     d = hausdorff_distance_95(a, b2)
     assert 0 < d <= 2.0 + 1e-6
     assert np.isnan(hausdorff_distance_95(a, np.zeros((32, 32), bool)))
+
+
+def test_metric_tracker():
+    """Running-average meter (reference utils/metrics.py:90-106)."""
+    from lmnet_tpu.metrics import MetricTracker
+
+    t = MetricTracker()
+    t.update(2.0)
+    t.update(4.0, n=3)
+    assert t.val == 4.0
+    assert t.count == 4
+    np.testing.assert_allclose(t.avg, (2.0 + 12.0) / 4)
+    t.reset()
+    assert t.count == 0 and t.sum == 0.0
+
+
+def test_per_class_confusion_counts(rng):
+    """Per-image tp/tn/fp/fn vs direct boolean counting
+    (reference utils/metrics.py:25-40)."""
+    from lmnet_tpu.metrics import per_class_confusion
+
+    truth = rng.randint(0, 3, size=(4, 8, 8))
+    pred = rng.randint(0, 3, size=(4, 8, 8))
+    tp, tn, fp, fn = per_class_confusion(truth, pred, c=1)
+    for i in range(4):
+        gt = truth[i] == 1
+        pd = pred[i] == 1
+        assert tp[i] == np.sum(gt & pd)
+        assert tn[i] == np.sum(~gt & ~pd)
+        assert fp[i] == np.sum(~gt & pd)
+        assert fn[i] == np.sum(gt & ~pd)
+        assert tp[i] + tn[i] + fp[i] + fn[i] == 64
+
+
+def test_binary_eval_closed_form():
+    """binary_eval's 0/0 -> 1 convention and batch-sum reduction
+    (reference utils/metrics.py:42-86)."""
+    from lmnet_tpu.metrics import binary_eval
+
+    # image 0: perfect prediction; image 1: all-background on all-background
+    # (tp+fp == 0 and tp+fn == 0 -> precision/recall/dice/iou resolve to 1)
+    truth = np.zeros((2, 4, 4), np.int64)
+    pred = np.zeros((2, 4, 4), np.int64)
+    truth[0, :2] = 1
+    pred[0, :2] = 1
+    acc, prec, recall, dice, iou = binary_eval(truth, pred)
+    np.testing.assert_allclose([acc, prec, recall, dice, iou], [2.0] * 5)
+
+    # half-overlap case: tp=4, fp=4, fn=4 on image 0
+    pred2 = np.zeros((2, 4, 4), np.int64)
+    pred2[0, 1:3] = 1
+    acc, prec, recall, dice, iou = binary_eval(truth, pred2)
+    np.testing.assert_allclose(prec, 0.5 + 1.0)
+    np.testing.assert_allclose(recall, 0.5 + 1.0)
+    np.testing.assert_allclose(dice, 0.5 + 1.0)
+    np.testing.assert_allclose(iou, 4 / 12 + 1.0)
+
+
+def test_multi_eval_nanmean_semantics():
+    """multi_eval: per-class nan (0/0) drops out of the class mean
+    (reference utils/metrics.py:11-24)."""
+    from lmnet_tpu.metrics import multi_eval
+
+    truth = np.zeros((1, 4, 4), np.int64)
+    pred = np.zeros((1, 4, 4), np.int64)
+    truth[0, :2] = 1
+    pred[0, 1:3] = 1
+    acc, prec, recall, dice, iou = multi_eval(truth, pred, n_classes=3)
+    # class 2 never appears -> all its ratios are nan and are dropped;
+    # classes 0/1 are symmetric here: tp=4, fp=4, fn=4 each
+    np.testing.assert_allclose(prec, 0.5)
+    np.testing.assert_allclose(recall, 0.5)
+    np.testing.assert_allclose(dice, 0.5)
+    np.testing.assert_allclose(iou, 1 / 3)
+    # class-2 accuracy is (0 + 16)/16 = 1 (tn-only, NOT nan): mean 2/3
+    np.testing.assert_allclose(acc, (0.5 + 0.5 + 1.0) / 3)
+
+
+def test_binary_iou_dice_per_image(rng):
+    """Smoothed per-image IoU/Dice on probability maps
+    (reference utils/metrics.py:139-159)."""
+    import jax.numpy as jnp
+
+    from lmnet_tpu.metrics import binary_dice, binary_iou
+
+    probs = rng.rand(3, 8, 8).astype(np.float32)
+    labels = rng.randint(0, 2, size=(3, 8, 8))
+    iou = np.asarray(binary_iou(jnp.asarray(probs), jnp.asarray(labels)))
+    dice = np.asarray(binary_dice(jnp.asarray(probs), jnp.asarray(labels)))
+    e = 1e-7
+    for i in range(3):
+        p = probs[i] > 0.5
+        t = labels[i] != 0
+        inter = np.sum(p & t)
+        union = np.sum(p | t)
+        np.testing.assert_allclose(iou[i], (inter + e) / (union + e), rtol=1e-5)
+        np.testing.assert_allclose(
+            dice[i], (2 * inter + e) / (p.sum() + t.sum() + e), rtol=1e-5
+        )
+    # dice/iou consistency: d = 2i/(i+u)
+    np.testing.assert_allclose(dice, 2 * iou / (1 + iou), rtol=1e-4)
+
+
+def test_evaluator_mean_accuracy_mean_recall(rng):
+    """Evaluator.Mean_Accuracy / Mean_Recall (reference
+    utils/metrics.py:169-178) — incl. the grand-total divisor quirk."""
+    from lmnet_tpu.metrics import Evaluator
+
+    ev = Evaluator(3)
+    gt = rng.randint(0, 3, size=(2, 8, 8))
+    pred = rng.randint(0, 3, size=(2, 8, 8))
+    ev.add_batch(gt, pred)
+    cm = ev.confusion_matrix
+    np.testing.assert_allclose(
+        ev.Mean_Accuracy(), np.nanmean(np.diag(cm) / cm.sum())
+    )
+    np.testing.assert_allclose(
+        ev.Mean_Recall(), np.nanmean(np.diag(cm) / cm.sum(axis=1))
+    )

@@ -103,6 +103,29 @@ def test_nat_flat_bwd_kernel_matches_xla_vjp(rng, hw, heads, hd):
         )
 
 
+def test_nat_flat_h28_fallback(rng):
+    """H not divisible by 8 (e.g. 224^2 inputs -> 28-row NAT stages) must
+    fall back to XLA: the Pallas kernels' 8-row halo edge blocks and
+    second-minor block-dim rule can't take rows<8 stripes."""
+    H, W, heads = 28, 8, 2
+    C = 4
+    q = rng.randn(1, H, W, C).astype(np.float32)
+    rpb = (rng.randn(heads, 5, 5) * 0.3).astype(np.float32)
+    oracle = naive_nat(q, q, q, rpb, 3)
+    flat = jnp.asarray(q.reshape(1, H, W * C))
+
+    def f(q, k, v, rpb):
+        return jnp.sum(nat_flat(q, k, v, rpb, heads, C, W, None, True) ** 2)
+
+    out = nat_flat(flat, flat, flat, jnp.asarray(rpb), heads, C, W, None, True)
+    np.testing.assert_allclose(
+        np.asarray(out).reshape(1, H, W, C), oracle, rtol=1e-4, atol=1e-5
+    )
+    # backward also routes through the XLA vjp (no Pallas lowering error)
+    grads = jax.grad(f, argnums=(0, 3))(flat, flat, flat, jnp.asarray(rpb))
+    assert all(np.isfinite(np.asarray(g)).all() for g in grads)
+
+
 def test_nat_flat_small_h_fallback(rng):
     """H < 8 falls back to the XLA formulation (still correct)."""
     H, W, heads = 4, 8, 2

@@ -43,6 +43,27 @@ def test_adaptive_avg_pool_matches_torch(rng, in_hw, out_hw):
     np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-6)
 
 
+def test_adaptive_avg_pool_bf16_nonpow2_ratio(rng):
+    """bf16 conv-pool branch: the 1/(kh*kw) scale must be applied in f32
+    so non-power-of-two ratios (e.g. 1/9) round only once at the output
+    cast, matching the f32 reshape-mean path to bf16 resolution."""
+    import jax.numpy as jnp
+
+    x = rng.randn(2, 9, 9, 5).astype(np.float32)
+    xb = jnp.asarray(x, jnp.bfloat16)
+    want = np.asarray(adaptive_avg_pool(jnp.asarray(x), (3, 3)))
+    got = np.asarray(adaptive_avg_pool(xb, (3, 3))).astype(np.float32)
+    np.testing.assert_allclose(got, want, rtol=1e-2, atol=1e-2)
+    # the rounding itself: vs f32 pooling of the SAME bf16-quantized input,
+    # cast once at the end — isolates the kernel-constant rounding from
+    # input quantization
+    want_q = np.asarray(
+        adaptive_avg_pool(xb.astype(jnp.float32), (3, 3))
+    )
+    ref_cast = np.asarray(jnp.asarray(want_q, jnp.bfloat16)).astype(np.float32)
+    np.testing.assert_allclose(got, ref_cast, rtol=4e-3, atol=1e-3)
+
+
 def test_global_avg_pool(rng):
     x = rng.randn(2, 6, 6, 4).astype(np.float32)
     ours = np.asarray(global_avg_pool(x))

@@ -95,7 +95,7 @@ def test_checkpoint_roundtrip(tmp_path, state, rng):
     x, y = _synthetic_batch(rng)
     cm = ConfusionAccumulator.init(2)
     s1, _, _ = train_step(state, x, y, jax.random.key(1), cm)
-    ckpt.save_checkpoint(str(tmp_path), "t_checkpoint", s1, epoch=3)
+    ckpt.save_checkpoint(str(tmp_path), "t_checkpoint", s1, epoch=3, best_iou=0.7)
     assert ckpt.checkpoint_exists(str(tmp_path), "t_checkpoint")
 
     model = LMNet(**TINY)
@@ -103,8 +103,12 @@ def test_checkpoint_roundtrip(tmp_path, state, rng):
         model, jax.random.key(42), (2, TINY_HW, TINY_HW, 3),
         epochs=10, steps_per_epoch=4,
     )
-    restored, epoch = ckpt.restore_checkpoint(str(tmp_path), "t_checkpoint", fresh)
+    restored, epoch, best_iou = ckpt.restore_checkpoint(
+        str(tmp_path), "t_checkpoint", fresh
+    )
     assert epoch == 3
+    # the best-IoU watermark survives resume (fixes reference train.py:231-238)
+    assert best_iou == 0.7
     assert int(restored.step) == int(s1.step)
     for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(restored.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
