@@ -188,6 +188,57 @@ def batch_norm(name: str, train: bool, dtype: Dtype = None) -> nn.BatchNorm:
     )
 
 
+class BNVars(nn.Module):
+    """BatchNorm with the stats pass exposed: variable tree and arithmetic
+    identical to ``nn.BatchNorm`` (params scale/bias, batch_stats mean/var,
+    fp32 biased-variance stats, momentum 0.9, eps 1e-5), but batch statistics
+    can be supplied externally — so a fused kernel (``ops/pallas/rc_train``)
+    can compute them without materializing the normalized tensor's input."""
+
+    features: int
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: Dtype = None
+
+    def setup(self):
+        self.scale = self.param(
+            "scale", nn.initializers.ones_init(), (self.features,), jnp.float32
+        )
+        self.bias = self.param(
+            "bias", nn.initializers.zeros_init(), (self.features,), jnp.float32
+        )
+        self.ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((self.features,), jnp.float32)
+        )
+        self.ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((self.features,), jnp.float32)
+        )
+
+    def update_stats(self, batch_mean, batch_var) -> None:
+        if not self.is_initializing():
+            m = self.momentum
+            self.ra_mean.value = m * self.ra_mean.value + (1 - m) * batch_mean
+            self.ra_var.value = m * self.ra_var.value + (1 - m) * batch_var
+
+    def __call__(self, y, train: bool = False):
+        if train:
+            yf = y.astype(jnp.float32)
+            mean = jnp.mean(yf, axis=(0, 1, 2))
+            var = jnp.maximum(
+                jnp.mean(jnp.square(yf), axis=(0, 1, 2)) - jnp.square(mean), 0.0
+            )
+            self.update_stats(mean, var)
+        else:
+            mean, var = self.ra_mean.value, self.ra_var.value
+        # flax-parity arithmetic: compute in the promoted (fp32) type, cast
+        # to the module dtype at the end
+        out = (y - mean) * (
+            jax.lax.rsqrt(var + self.epsilon) * self.scale
+        ) + self.bias
+        dt = self.dtype or jnp.promote_types(y.dtype, jnp.float32)
+        return out.astype(dt)
+
+
 # ---------------------------------------------------------------------------
 # Blocks
 # ---------------------------------------------------------------------------
@@ -201,9 +252,12 @@ class SE(nn.Module):
     dtype: Dtype = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, pooled=None):
         kaiming = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
-        s = global_avg_pool(x)  # (B, 1, 1, C)
+        # ``pooled``: optional precomputed (B, 1, 1, C) global mean — the
+        # fused RC kernel emits channel sums, so x is not re-read for the
+        # squeeze (see ops/pallas/rc_train.py)
+        s = global_avg_pool(x) if pooled is None else pooled
         s = nn.Conv(
             self.channels // self.reduction,
             (1, 1),
@@ -246,6 +300,30 @@ class ReparamConv(nn.Module):
     deploy: bool = False
     gelu_exact: bool = False
     dtype: Dtype = None
+    # train-mode branch backend: 'auto' (fused Pallas kernels on TPU, plain
+    # XLA elsewhere), 'fused', or 'xla'. The fused path never materializes a
+    # branch output or holds one as an autodiff residual — see
+    # ops/pallas/rc_train.py.
+    rc_train_backend: str = "auto"
+
+    def _fused_train_ok(self, x1, train: bool) -> bool:
+        backend = self.rc_train_backend
+        if backend == "auto":
+            backend = "fused" if jax.default_backend() == "tpu" else "xla"
+        H, W = x1.shape[1], x1.shape[2]
+        return (
+            backend == "fused"
+            and train
+            and not self.is_initializing()
+            and self.stride == 1
+            and not self.gelu_exact
+            and self.large_kernel == 5
+            and self.small_kernel == 3
+            and H >= 8
+            and H % 8 == 0
+            and W >= 3
+            and (W * self.expand_channels) % 128 == 0
+        )
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -266,6 +344,7 @@ class ReparamConv(nn.Module):
                 name=name,
             )
 
+        se = SE(ec, dtype=self.dtype, name="se")
         if self.deploy:
             out = TorchConv(
                 ec,
@@ -276,14 +355,40 @@ class ReparamConv(nn.Module):
                 dtype=self.dtype,
                 name="fuse_conv",
             )(x1)
+            x1 = se(gelu(out, self.gelu_exact))
         else:
             lk, sk = self.large_kernel, self.small_kernel
-            out = batch_norm("large_bn", train, self.dtype)(dw("large_conv", (lk, lk))(x1))
-            out = out + batch_norm("square_bn", train, self.dtype)(dw("square_conv", (sk, sk))(x1))
-            out = out + batch_norm("ver_bn", train, self.dtype)(dw("ver_conv", (sk, 1))(x1))
-            out = out + batch_norm("hor_bn", train, self.dtype)(dw("hor_conv", (1, sk))(x1))
+            bns = [
+                BNVars(ec, dtype=self.dtype, name=f"{n}_bn")
+                for n in ("large", "square", "ver", "hor")
+            ]
+            if self._fused_train_ok(x1, train):
+                from lmnet_tpu.ops.pallas.rc_train import rc_branch_act
 
-        x1 = SE(ec, dtype=self.dtype, name="se")(gelu(out, self.gelu_exact))
+                B, H, W, _ = x1.shape
+                p = self.variables["params"]
+                kernels = [
+                    p[n]["conv"]["kernel"]
+                    for n in ("large_conv", "square_conv", "ver_conv", "hor_conv")
+                ]
+                gamma = jnp.stack([bn.scale for bn in bns])
+                beta = jnp.stack([bn.bias for bn in bns])
+                t_flat, sums, mu, var = rc_branch_act(
+                    x1.reshape(B, H, W * ec), *kernels, gamma, beta,
+                    ec, 1e-5, jax.default_backend() != "tpu",
+                )
+                for i, bn in enumerate(bns):
+                    bn.update_stats(mu[i], var[i])
+                pooled = (sums.reshape(B, W, ec).sum(axis=1) / (H * W)).reshape(
+                    B, 1, 1, ec
+                )
+                x1 = se(t_flat.reshape(B, H, W, ec), pooled=pooled.astype(x1.dtype))
+            else:
+                out = bns[0](dw("large_conv", (lk, lk))(x1), train)
+                out = out + bns[1](dw("square_conv", (sk, sk))(x1), train)
+                out = out + bns[2](dw("ver_conv", (sk, 1))(x1), train)
+                out = out + bns[3](dw("hor_conv", (1, sk))(x1), train)
+                x1 = se(gelu(out, self.gelu_exact))
         x1 = TorchConv(self.out_channels, (1, 1), dtype=self.dtype, name="pointwise_conv")(x1)
         return x1 + TorchConv(self.out_channels, (1, 1), dtype=self.dtype, name="shortcut")(x)
 

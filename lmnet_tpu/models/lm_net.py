@@ -55,6 +55,7 @@ class LMNet(nn.Module):
     gelu_exact: bool = False  # erf GELU (torch nn.GELU parity); default tanh
     dtype: Any = None
     nat_backend: str = "auto"  # 'auto' | 'pallas' | 'xla' (see blocks.NeighborhoodAttention2D)
+    rc_train_backend: str = "auto"  # 'auto' | 'fused' | 'xla' (see blocks.ReparamConv)
 
     @nn.compact
     def __call__(self, x, train: bool = False, deterministic: bool | None = None):
@@ -65,7 +66,8 @@ class LMNet(nn.Module):
 
         def rc(name, expand, out):
             return ReparamConv(
-                expand, out, 5, 3, deploy=self.deploy, gelu_exact=ge, dtype=dt, name=name
+                expand, out, 5, 3, deploy=self.deploy, gelu_exact=ge, dtype=dt,
+                rc_train_backend=self.rc_train_backend, name=name,
             )
 
         def down(name, ch, h):
