@@ -115,6 +115,33 @@ def main():
         dt = (time.perf_counter() - t0 - rtt) / ITERS
         train_best = max(train_best, TRAIN_BATCH / dt)
 
+    # --- larger-resolution serving configs (BASELINE configs 3/4) --------
+    # recorded every round so perf regressions at 384/512 stay visible
+    def serve_rate(size, batch):
+        xs = jnp.ones((batch, size, size, 3), jnp.bfloat16)
+
+        def chain_s(x):
+            def body(i, acc):
+                y = deploy_forward(
+                    deploy_vars, x + acc.astype(x.dtype) * 1e-20,
+                    nat_backend="flat",
+                )
+                return acc + jnp.sum(y)
+
+            return jax.lax.fori_loop(0, ITERS, body, jnp.zeros(()))
+
+        gs = jax.jit(chain_s)
+        float(gs(xs))  # compile + warm
+        r = 0.0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            float(gs(xs))
+            r = max(r, batch / ((time.perf_counter() - t0 - rtt) / ITERS))
+        return round(r, 1)
+
+    img_s_384 = serve_rate(384, 32)
+    img_s_512 = serve_rate(512, 16)
+
     print(
         json.dumps(
             {
@@ -123,6 +150,8 @@ def main():
                 "unit": "img/s",
                 "vs_baseline": round(best / A100_EST_IMG_S, 3),
                 "train_img_s": round(train_best, 1),
+                "img_s_384": img_s_384,
+                "img_s_512": img_s_512,
             }
         )
     )

@@ -300,16 +300,18 @@ class ReparamConv(nn.Module):
     deploy: bool = False
     gelu_exact: bool = False
     dtype: Dtype = None
-    # train-mode branch backend: 'auto' (fused Pallas kernels on TPU, plain
-    # XLA elsewhere), 'fused', or 'xla'. The fused path never materializes a
-    # branch output or holds one as an autodiff residual — see
-    # ops/pallas/rc_train.py.
+    # train-mode branch backend: 'auto' (== 'xla': measured FASTER than the
+    # fused Pallas path at every stage shape on v5e — fwd 12.3 vs 18.8 ms,
+    # fwd+bwd 25.6 vs 48.9 ms at 256^2 ec=24 B=128; see the negative-results
+    # ledger in BASELINE.md), 'fused' (explicit opt-in, ops/pallas/rc_train.py:
+    # never materializes a branch output or holds one as an autodiff
+    # residual), or 'xla'.
     rc_train_backend: str = "auto"
 
     def _fused_train_ok(self, x1, train: bool) -> bool:
         backend = self.rc_train_backend
         if backend == "auto":
-            backend = "fused" if jax.default_backend() == "tpu" else "xla"
+            backend = "xla"
         H, W = x1.shape[1], x1.shape[2]
         return (
             backend == "fused"

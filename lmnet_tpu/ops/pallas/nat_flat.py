@@ -189,6 +189,13 @@ def nat_flat(q, k, v, rpb, heads: int, C: int, W: int,
         scale = float(C // heads) ** -0.5
     hd = C // heads
     rows = 32 if H >= 32 else 8
+    # scoped-vmem caps (all measured): 32-row stripes fit at WC=3072
+    # (256^2) but overflow the 16 MB limit at WC=4608 (384^2: 16.67M);
+    # 16-row stripes fit at 4608 but overflow at WC=6144 (512^2: 16.34M —
+    # the f32 bias table and 8-row edge blocks scale with WC, so the
+    # boundary is not a pure rows*WC product). NB a pure-product cap that
+    # shrank 256^2 to 16-row stripes cost ~17% e2e serving throughput.
+    rows = min(rows, 32 if WC <= 3072 else 16 if WC <= 4608 else 8)
     while H % rows:
         rows //= 2
     # the segment shift-add/select trees require power-of-2 head_dim;
@@ -464,8 +471,11 @@ def nat_flat_bwd(q, k, v, rpb, g, heads: int, C: int, W: int,
     hd = C // heads
     # rows < 8 (H % 8 != 0): (1, rows, WC) blocks violate Mosaic's
     # second-minor-divisible-by-8 rule — use the XLA vjp like other
-    # unsupported shapes
-    if rows < 8 or H < 8 or W < 3 or (hd & (hd - 1)):
+    # unsupported shapes. WC > 4608: rows is already at the Mosaic
+    # minimum of 8 and the fp32 working set still overflows the 16 MB
+    # scoped-vmem limit (the bwd holds ~2x the fwd's live VMEM), so
+    # 512^2 training routes through the XLA vjp too.
+    if rows < 8 or H < 8 or W < 3 or (hd & (hd - 1)) or WC > 4608:
         _, vjp = jax.vjp(
             lambda q, k, v, rpb: _nat_flat_ref(q, k, v, rpb, heads, C, W, scale),
             q, k, v, rpb,

@@ -122,7 +122,9 @@ def dw_gelu_flat(e_flat: jnp.ndarray, wflat: jnp.ndarray, bflat: jnp.ndarray,
     kh = kw = int(round(taps**0.5))
     pad = kh // 2
 
-    rows = min(32, H)
+    # rows=16: 32-row stripes exceed the 16 MB scoped-vmem limit at WC=6144
+    # once the kernel sits inside the full train graph (measured 16.50M)
+    rows = min(16, H)
     while H % rows:
         rows //= 2
     assert rows >= pad, f"H={H} too small for stripe halo"

@@ -110,18 +110,19 @@ def _rc_stats_kernel(eu_ref, ec_ref, ed_ref, w_ref, s_ref, hscr,
         hscr[rows + 2 : rows + 4] = jnp.zeros((2, WC), hscr.dtype)
 
     full = hscr[:].astype(jnp.float32)  # (rows + 4, WC)
-    # all 40 taps share 5 lane rotations: sh[dw][r, l] == e[r, l + dw*C]
-    sh = {
-        dw: (pltpu.roll(full, shift=(-dw * C) % WC, axis=1) if dw else full)
-        for dw in (-2, -1, 0, 1, 2)
-    }
-    parts = []
-    for bi in range(4):
-        y = jnp.zeros((rows, WC), jnp.float32)
-        for ti, (bj, dh, dw) in enumerate(_TAPS):
-            if bj != bi:
+    # all 40 taps share 5 lane rotations (sh[r, l] == e[r, l + dw*C]).
+    # Roll-major loop: only ONE rotated copy is live at a time — keeping all
+    # five alive overflowed the 16 MB scoped-vmem limit at WC=6144
+    # (measured 16.28M with rows=16).
+    ys = [jnp.zeros((rows, WC), jnp.float32) for _ in range(4)]
+    for dw in (-2, -1, 0, 1, 2):
+        sh = pltpu.roll(full, shift=(-dw * C) % WC, axis=1) if dw else full
+        for ti, (bj, dh, dwj) in enumerate(_TAPS):
+            if dwj != dw:
                 continue
-            y = y + sh[dw][2 + dh : 2 + dh + rows] * w_ref[ti][None, :]
+            ys[bj] = ys[bj] + sh[2 + dh : 2 + dh + rows] * w_ref[ti][None, :]
+    parts = []
+    for y in ys:
         parts.append(jnp.sum(y, axis=0, keepdims=True))
         parts.append(jnp.sum(y * y, axis=0, keepdims=True))
     part = jnp.concatenate(parts, axis=0)  # (8, WC)
@@ -140,7 +141,10 @@ def rc_branch_stats(e_flat: jnp.ndarray, wflat: jnp.ndarray, C: int,
                     interpret: bool = False) -> jnp.ndarray:
     """(8, W*C) flat per-branch [sum, sumsq] x 4 over the whole batch."""
     B, H, WC = e_flat.shape
-    rows = min(32, H)
+    # rows=16: the 5 shared lane-rotated copies of the fp32 halo block are
+    # the big VMEM consumer; 32-row stripes exceed the 16 MB scoped-vmem
+    # limit at WC=6144 (measured 18.95M)
+    rows = min(16, H)
     while H % rows:
         rows //= 2
     assert rows >= 8, f"H={H} unsupported (need H % 8 == 0)"

@@ -96,6 +96,48 @@ def upsample2x_align_corners(x: jnp.ndarray) -> jnp.ndarray:
     return bilinear_resize(x, (2 * h, 2 * w), align_corners=True)
 
 
+def upsample2x_phase(x: jnp.ndarray) -> jnp.ndarray:
+    """Transpose-free 2x align_corners=True upsample via phase blends.
+
+    MEASURED NEGATIVE RESULT — kept unwired (see BASELINE.md ledger):
+    e2e serving 1347 -> 1128 img/s and train 187 -> 181 img/s at 256^2
+    B=128 when this replaced the einsum formulation.  The idea: for
+    exactly-2x align_corners=True the tap OFFSETS are uniform per output
+    phase even though every position's weight differs:
+      even col 2k: src = k - k/(2W-1)        -> blend of x[k-1], x[k]
+      odd  col 2k+1: src = k + (W-1-k)/(2W-1) -> blend of x[k], x[k+1]
+    so each axis is two shifted elementwise blends + a phase interleave,
+    with no W-contraction einsum and hence none of the (B,H,C,W) layout
+    copies the matmul formulation drags into fwd AND bwd (~2.5 ms each).
+    But the stack+reshape phase INTERLEAVE is itself a relayout on the
+    second-minor dim, and it costs more than the transposes it removes.
+    """
+    b, h, w, c = x.shape
+    if h < 2 or w < 2:
+        return bilinear_resize(x, (2 * h, 2 * w), align_corners=True)
+    dt = x.dtype
+
+    # --- W axis -----------------------------------------------------------
+    k = np.arange(w, dtype=np.float64)
+    aw = jnp.asarray(k / (2 * w - 1), dt).reshape(1, 1, w, 1)  # weight on x[k-1]
+    bw = jnp.asarray((w - 1 - k) / (2 * w - 1), dt).reshape(1, 1, w, 1)  # on x[k+1]
+    xm1 = jnp.concatenate([x[:, :, :1], x[:, :, :-1]], axis=2)
+    xp1 = jnp.concatenate([x[:, :, 1:], x[:, :, -1:]], axis=2)
+    even = x * (1 - aw) + xm1 * aw
+    odd = x * (1 - bw) + xp1 * bw
+    x = jnp.stack([even, odd], axis=3).reshape(b, h, 2 * w, c)
+
+    # --- H axis -----------------------------------------------------------
+    k = np.arange(h, dtype=np.float64)
+    ah = jnp.asarray(k / (2 * h - 1), dt).reshape(1, h, 1, 1)
+    bh = jnp.asarray((h - 1 - k) / (2 * h - 1), dt).reshape(1, h, 1, 1)
+    xm1 = jnp.concatenate([x[:, :1], x[:, :-1]], axis=1)
+    xp1 = jnp.concatenate([x[:, 1:], x[:, -1:]], axis=1)
+    even = x * (1 - ah) + xm1 * ah
+    odd = x * (1 - bh) + xp1 * bh
+    return jnp.stack([even, odd], axis=2).reshape(b, 2 * h, 2 * w, c)
+
+
 @functools.lru_cache(maxsize=None)
 def _adaptive_pool_matrix(in_size: int, out_size: int) -> np.ndarray:
     """(out_size, in_size) averaging matrix matching torch adaptive_avg_pool:
@@ -120,19 +162,22 @@ def adaptive_avg_pool(x: jnp.ndarray, out_hw: tuple[int, int]) -> jnp.ndarray:
             # bf16 path (serving AND --apm training): a strided depthwise
             # ones-kernel conv — the reshape-mean's rank-6 view forces
             # layout copies around the pyramid pool (measured +36 img/s
-            # e2e at B=128). The kernel is exactly-representable ones and
-            # the conv accumulates in fp32; the 1/(kh*kw) scale is applied
-            # in fp32 so non-power-of-two ratios round only once at the
-            # final bf16 cast (an fp32-constant-in-bf16 kernel would be
-            # off ~0.2% for e.g. 1/9).
+            # e2e at B=128). The kernel is exactly-representable ones (the
+            # MXU accumulates the window sum in fp32 internally either
+            # way) and the 1/(kh*kw) scale is applied in fp32, so a
+            # non-power-of-two ratio's constant (e.g. 1/9, off ~0.2% in
+            # bf16) never rounds into the result. The conv itself stays
+            # bf16-in/bf16-out: a preferred_element_type=f32 output breaks
+            # the conv transpose rule under autodiff (f32 cotangent vs
+            # bf16 kernel) and this op sits in the differentiated train
+            # graph via the pyramid pool.
             k = jnp.ones((kh, kw, 1, c), x.dtype)
             out = jax.lax.conv_general_dilated(
                 x, k, (kh, kw), "VALID",
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
                 feature_group_count=c,
-                preferred_element_type=jnp.float32,
             )
-            return (out * (1.0 / (kh * kw))).astype(x.dtype)
+            return (out.astype(jnp.float32) * (1.0 / (kh * kw))).astype(x.dtype)
         # f32/training path: reshape-mean (not reduce_window: its transpose
         # rule fails to linearize under SPMD-sharded autodiff as of jax 0.9)
         return jnp.mean(

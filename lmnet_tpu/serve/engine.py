@@ -162,7 +162,7 @@ def deploy_forward(
     x: jnp.ndarray,
     num_heads: int = 12,
     nat_backend: str = "flat",  # fused flat-layout NAT (no transposes)
-    rc_backend: str = "xla",  # measured faster than the two-phase Pallas RC
+    rc_backend: str = "xla",  # 'flat' (rc_flat fused dw+gelu+SE-sums) | 'pallas' (two-phase) | 'xla'
     interpret: bool = False,  # Pallas interpreter mode (CPU testing)
 ):
     """Fused deploy-mode forward. ``variables`` = structural_reparam output."""
@@ -170,6 +170,14 @@ def deploy_forward(
     s = variables["batch_stats"]
 
     def rc(name, h):
+        if rc_backend == "flat":
+            from lmnet_tpu.ops.pallas.rc_flat import (
+                fold_rc_flat_weights,
+                fused_rc_block,
+            )
+
+            fw = fold_rc_flat_weights(p[name], s[name], h.shape[2])
+            return fused_rc_block(h, fw, interpret=interpret).astype(h.dtype)
         if rc_backend == "pallas":
             return fused_reparam_conv(
                 h, fold_rc_weights(p[name], s[name]), interpret=interpret

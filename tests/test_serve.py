@@ -71,6 +71,19 @@ def test_deploy_forward_matches_model(deploy_vars, rng):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5)
 
 
+def test_deploy_forward_flat_rc_backend(deploy_vars, rng):
+    """rc_backend='flat' (rc_flat fused dw+gelu+SE-sums kernel) through the
+    full deploy graph matches the Flax deploy model."""
+    x = jnp.asarray(rng.randn(1, TINY_HW, TINY_HW, 3), jnp.float32)
+    md = LMNet(**TINY, deploy=True)
+    ref = jax.jit(lambda v, x: md.apply(v, x, train=False))(deploy_vars, x)
+    out = deploy_forward(
+        deploy_vars, x, num_heads=TINY["num_heads"],
+        nat_backend="xla", rc_backend="flat", interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5)
+
+
 def test_deploy_forward_xla_backend(deploy_vars, rng):
     x = jnp.asarray(rng.randn(1, TINY_HW, TINY_HW, 3), jnp.float32)
     md = LMNet(**TINY, deploy=True)
