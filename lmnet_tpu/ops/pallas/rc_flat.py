@@ -1,13 +1,24 @@
 """Flat-layout fused depthwise-5x5 + bias + GELU (+ channel sums) kernel.
 
+MEASURED NEGATIVE RESULT — selectable via ``rc_backend='flat'`` in
+``serve.deploy_forward`` but NOT the default: e2e serving at 256^2 B=128
+is 705 img/s vs 1321 with the plain-XLA deploy block (perf/rc_backend_ab.py).
+Same root cause as the train-mode rc_train kernel: the 25-tap roll-ladder
+does one shifted VPU multiply-add per tap, while XLA lowers the same
+depthwise conv at ~73% of the VPU roofline and fuses the surrounding
+elementwise ops well enough that the "no standalone passes" structure below
+never pays for the slower conv.  Kept wired + tested as the honest record.
+
 The deploy-mode ReparamConv hot path (reference ``core/modules.py:586-600``
 after ``switch_to_deploy``) is ``pointwise(SE(gelu(dw5x5(e) + b)))``.  On TPU
-the dw conv + elementwise passes dominate: LM-Net's channel counts (12..192)
-sit on the 128-wide lane dimension and waste up to 10x of every vector
-register and every XLA fusion (measured: bare dw5x5 4.6 ms + bare gelu
-2.8 ms at B=64, 256^2 x 24 — ~5x off the VPU roofline).
+the dw conv + elementwise passes LOOKED dominant: LM-Net's channel counts
+(12..192) sit on the 128-wide lane dimension and waste up to 10x of every
+vector register and every XLA fusion (measured: bare dw5x5 4.6 ms + bare
+gelu 2.8 ms at B=64, 256^2 x 24 — ~5x off the VPU roofline; the e2e loss
+above shows those bare-op numbers carried RTT/layout context that the real
+graph does not pay).
 
-The fix is a layout observation: LM-Net halves W as it doubles C, so
+The design is a layout observation: LM-Net halves W as it doubles C, so
 ``W*C == 6144`` at every stage.  Viewing activations as ``(B, H, W*C)``
 (a free reshape — identical HBM bytes) puts a fully dense 6144-wide vector
 on the lanes at every stage, and the depthwise conv becomes 25 shifted

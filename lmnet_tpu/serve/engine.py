@@ -120,22 +120,77 @@ def _gft(p, x, num_heads):
     return _conv(p["out_conv"], out.reshape(B, H, W, -1))
 
 
-def _natt(p, x, num_heads, nat_backend):
+def _ln_static_scale(p):
+    """Static bound on |LN output| (no data pass): the normalized vector
+    has L2 norm sqrt(C) so per-element |x_hat| <= sqrt(C-1); scale by
+    gamma's absmax, shift by beta's."""
+    c = p["scale"].shape[0]
+    bound = float(max(c - 1, 1)) ** 0.5 * jnp.max(jnp.abs(p["scale"])) + jnp.max(
+        jnp.abs(p["bias"])
+    )
+    return jnp.maximum(bound, 1e-8) / 127.0
+
+
+def _ln_q8(p, x, s_in):
+    """LayerNorm emitting int8 at the static scale — the quantize is
+    elementwise, so XLA fuses it into the LN chain and the MATERIALIZED
+    tensor is int8 (half the HBM bytes of bf16; that, not MXU rate, is
+    the win: these interiors are bandwidth-bound)."""
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+    y = (xf - mu) * jax.lax.rsqrt(var + LN_EPS)
+    y = y * p["scale"] + p["bias"]
+    return jnp.round(y / s_in).clip(-127, 127).astype(jnp.int8)
+
+
+def _quant_w_percol(w):
+    """Per-output-column symmetric int8 weight quantization (trace-cheap)."""
+    s = jnp.maximum(jnp.max(jnp.abs(w), axis=0) / 127.0, 1e-8)
+    w8 = jnp.round(w / s[None, :]).clip(-127, 127).astype(jnp.int8)
+    return w8, s
+
+
+def _dense_i8(x8, w8, s_in, s_col, bias, out_dtype):
+    acc = jax.lax.dot_general(
+        x8, w8, (((x8.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return (acc.astype(jnp.float32) * (s_in * s_col) + bias).astype(out_dtype)
+
+
+def _natt(p, x, num_heads, nat_backend, int8_interior: bool = False):
     # NOTE a fully fused flat-block kernel exists (ops/pallas/natt_flat.py)
     # but measured 2x SLOWER than this unfused path (55.7 vs 28.1 ms for
     # natt4 at B=128): in-kernel C-mixing needs O(C) cross-lane rolls,
     # and VPU lane rotations cost ~2x a plain vector op. Kept unwired as a
     # documented negative result; C-mixing belongs on the MXU.
     emb = _conv(p["embed"]["proj"], x)
-    ln1 = _ln(p["norm1"], emb)
-    # weight-sliced qkv: splitting the fused (.., 3C) output costs real
-    # copies on TPU; per-slice matmuls fuse into the flat reshape for free
     C = emb.shape[-1]
-    wq = p["attn"]["qkv"]["dense"]["kernel"].astype(ln1.dtype)
-    bq = p["attn"]["qkv"]["dense"]["bias"].astype(ln1.dtype)
-    q = ln1 @ wq[:, :C] + bq[:C]
-    k = ln1 @ wq[:, C : 2 * C] + bq[C : 2 * C]
-    v = ln1 @ wq[:, 2 * C :] + bq[2 * C :]
+    if int8_interior:
+        # int8 qkv dots off a static-scale int8 LN output (measured +6.9%
+        # on natt4 / +4.0% on natt3 at B=128; ~1-2% mean activation error —
+        # see BASELINE.md). proj/fc2 stay bf16: their inputs (NAT output,
+        # gelu output) have no static bound and a dynamic amax costs the
+        # extra HBM pass the scheme saves.
+        s1 = _ln_static_scale(p["norm1"])
+        ln1_8 = _ln_q8(p["norm1"], emb, s1)
+        wq8, sq = _quant_w_percol(p["attn"]["qkv"]["dense"]["kernel"])
+        bq = p["attn"]["qkv"]["dense"]["bias"]
+        q = _dense_i8(ln1_8, wq8[:, :C], s1, sq[:C], bq[:C], emb.dtype)
+        k = _dense_i8(
+            ln1_8, wq8[:, C : 2 * C], s1, sq[C : 2 * C], bq[C : 2 * C], emb.dtype
+        )
+        v = _dense_i8(ln1_8, wq8[:, 2 * C :], s1, sq[2 * C :], bq[2 * C :], emb.dtype)
+    else:
+        ln1 = _ln(p["norm1"], emb)
+        # weight-sliced qkv: splitting the fused (.., 3C) output costs real
+        # copies on TPU; per-slice matmuls fuse into the flat reshape for free
+        wq = p["attn"]["qkv"]["dense"]["kernel"].astype(ln1.dtype)
+        bq = p["attn"]["qkv"]["dense"]["bias"].astype(ln1.dtype)
+        q = ln1 @ wq[:, :C] + bq[:C]
+        k = ln1 @ wq[:, C : 2 * C] + bq[C : 2 * C]
+        v = ln1 @ wq[:, 2 * C :] + bq[2 * C :]
     rpb = p["attn"]["rpb"]
     if nat_backend == "flat":
         from lmnet_tpu.ops.pallas.nat_flat import nat_flat
@@ -150,12 +205,22 @@ def _natt(p, x, num_heads, nat_backend):
     else:
         nat = neighborhood_attention(q, k, v, rpb, 3)
     att = _dense(p["attn"]["proj"], nat) + emb
+    if int8_interior:
+        s2 = _ln_static_scale(p["norm2"])
+        ln2_8 = _ln_q8(p["norm2"], att, s2)
+        w18, sc1 = _quant_w_percol(p["mlp"]["fc1"]["dense"]["kernel"])
+        h = gelu(
+            _dense_i8(ln2_8, w18, s2, sc1, p["mlp"]["fc1"]["dense"]["bias"], att.dtype)
+        )
+        return _dense(p["mlp"]["fc2"], h) + att
     return _mlp(p["mlp"], _ln(p["norm2"], att)) + att
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("num_heads", "nat_backend", "rc_backend", "interpret"),
+    static_argnames=(
+        "num_heads", "nat_backend", "rc_backend", "interpret", "natt_int8",
+    ),
 )
 def deploy_forward(
     variables: dict,
@@ -164,6 +229,7 @@ def deploy_forward(
     nat_backend: str = "flat",  # fused flat-layout NAT (no transposes)
     rc_backend: str = "xla",  # 'flat' (rc_flat fused dw+gelu+SE-sums) | 'pallas' (two-phase) | 'xla'
     interpret: bool = False,  # Pallas interpreter mode (CPU testing)
+    natt_int8: bool = False,  # int8 NATT interiors (+~2% e2e, ~1-2% act error)
 ):
     """Fused deploy-mode forward. ``variables`` = structural_reparam output."""
     p = variables["params"]
@@ -230,10 +296,10 @@ def deploy_forward(
     s3 = _m3skip(p["skip3"], s["skip3"], x1, x2, x3)
     s4 = _m2skip(p["skip4"], s["skip4"], x1, x2, "top")
 
-    x46 = _natt(p["natt1"], s1, num_heads, nat_backend)
-    x37 = _natt(p["natt2"], s2, num_heads, nat_backend)
-    x28 = _natt(p["natt3"], s3, num_heads, nat_backend)
-    x19 = _natt(p["natt4"], s4, num_heads, nat_backend)
+    x46 = _natt(p["natt1"], s1, num_heads, nat_backend, natt_int8)
+    x37 = _natt(p["natt2"], s2, num_heads, nat_backend, natt_int8)
+    x28 = _natt(p["natt3"], s3, num_heads, nat_backend, natt_int8)
+    x19 = _natt(p["natt4"], s4, num_heads, nat_backend, natt_int8)
 
     def up(name, h_):
         return _conv(p[name], upsample2x_align_corners(h_))
@@ -255,6 +321,7 @@ def serving_evaluate(
     rc_backend: str = "xla",
     nat_backend: str | None = None,  # None -> flat on TPU, xla elsewhere
     num_heads: int = 12,
+    natt_int8: bool = False,
 ):
     """Evaluate a *training* state through the fused serving path: reparam
     the variables once, then run ``deploy_forward`` over the loader (the
@@ -286,6 +353,7 @@ def serving_evaluate(
         logits = deploy_forward(
             deploy_vars, x, num_heads=num_heads,
             rc_backend=rc_backend, nat_backend=nat_backend,
+            natt_int8=natt_int8,
         )
         loss = cross_entropy_loss(logits, y, (1.0, 4.0), 0.001)
         preds = jnp.argmax(logits, axis=-1)

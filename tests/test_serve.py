@@ -93,3 +93,21 @@ def test_deploy_forward_xla_backend(deploy_vars, rng):
         nat_backend="xla", rc_backend="xla",
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5)
+
+
+def test_deploy_forward_natt_int8(deploy_vars, rng):
+    """The opt-in int8 NATT-interior path tracks the bf16 graph to within
+    quantization noise (static-scale int8 is ~1-2% mean activation error;
+    the logit map must stay close, not bit-exact)."""
+    x = jnp.asarray(rng.randn(1, TINY_HW, TINY_HW, 3), jnp.float32)
+    ref = deploy_forward(
+        deploy_vars, x, num_heads=TINY["num_heads"],
+        nat_backend="xla", rc_backend="xla",
+    )
+    out = deploy_forward(
+        deploy_vars, x, num_heads=TINY["num_heads"],
+        nat_backend="xla", rc_backend="xla", natt_int8=True,
+    )
+    r, o = np.asarray(ref), np.asarray(out)
+    rel = np.abs(r - o).mean() / (np.abs(r).mean() + 1e-9)
+    assert rel < 0.05, f"int8 interior drift too large: {rel}"
