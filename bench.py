@@ -33,8 +33,8 @@ import jax.numpy as jnp
 A100_EST_IMG_S = 1500.0
 
 BATCH = 128  # measured optimum: B=64 leaves ~40% throughput on the table
-TRAIN_BATCH = 128  # dw convs are ~4x more element-efficient than at B=32:
-                   # 88 -> 187 img/s measured (B=192 fails to compile: HBM)
+TRAIN_BATCH = 128  # measured optimum: B=32 -> 88, B=96 -> 153, B=128 -> 187
+                   # img/s; B=160 and B=192 fail to compile (HBM)
 ITERS = 10
 REPS = 3
 

@@ -142,10 +142,14 @@ def _datasets(args, fold: int):
             else val
         )
     # per-host manifest sharding (the DistributedSampler analogue): each host
-    # trains on its own slice; val/test stay whole (metrics are computed once
-    # on the main process from the full set)
+    # trains AND evaluates on its own slice; eval accumulators are summed
+    # across processes in train.loop._allreduce_eval (round 2 redundantly
+    # ran the full val set on every host)
     if jax.process_count() > 1:
-        train = train.shard(jax.process_index(), jax.process_count())
+        r, w = jax.process_index(), jax.process_count()
+        train = train.shard(r, w)
+        val = val.shard(r, w)
+        test = test.shard(r, w)
     return train, val, test
 
 
@@ -280,6 +284,7 @@ def main_single(fold: int, args) -> dict:
             test_loss, m = evaluate(
                 state, test_loader, args.num_classes, args.img_size,
                 compute_hd95=args.hd95, mesh=mesh, spatial=use_spatial,
+                cross_host=jax.process_count() > 1,
             )
         names = ["loss", "accuracy", "precision", "recall",
                  "specificity", "dice", "iou", "mean_iou"]
@@ -308,6 +313,7 @@ def main_single(fold: int, args) -> dict:
         val_loss, vm = evaluate(
             state, val_loader, args.num_classes, args.img_size,
             compute_hd95=args.hd95, mesh=mesh, spatial=use_spatial,
+            cross_host=jax.process_count() > 1,
         )
         print(
             " train_loss:{:.4f} train_dice:{:.4f} train_iou:{:.4f} "

@@ -91,7 +91,16 @@ def bilinear_resize(
 
 
 def upsample2x_align_corners(x: jnp.ndarray) -> jnp.ndarray:
-    """`nn.Upsample(scale_factor=2, mode='bilinear', align_corners=True)`."""
+    """`nn.Upsample(scale_factor=2, mode='bilinear', align_corners=True)`.
+
+    Formulation experiments (both e2e-neutral, see BASELINE.md ledger):
+    a phase-interleave variant (``upsample2x_phase``) was 16% SLOWER e2e,
+    and an explicit (B,C,H,W)-"sandwich" matmul variant won ~2x on the
+    ISOLATED fwd+bwd micro-bench (perf/upsample_ab.py) but moved e2e by
+    exactly nothing (187.3 -> 187.3 train img/s) — XLA's full-graph layout
+    assignment already avoids the copies the micro-bench pays in
+    isolation. The per-axis einsum stays as the simplest equal-speed form.
+    """
     _, h, w, _ = x.shape
     return bilinear_resize(x, (2 * h, 2 * w), align_corners=True)
 

@@ -78,20 +78,30 @@ def evaluate(
     compute_hd95: bool = False,
     mesh=None,
     spatial: bool = False,
+    cross_host: bool = False,
 ):
     """Run evaluation. Returns (total_ce_loss, metrics dict).
 
     ``compute_hd95``: also report the 95th-percentile Hausdorff distance
     (host-side; the reference names hd95 but never wires it — SURVEY §2.11).
+
+    ``cross_host``: multi-host mode — this process's ``loader`` holds only
+    its manifest shard (see cli ``_datasets``); each host evaluates its
+    slice host-locally and the confusion matrix / loss / HD95 sums are
+    all-gathered and summed across processes at the end. Replaces the
+    round-2 behavior where every host redundantly evaluated the FULL val
+    set. The per-batch work stays off the global mesh on purpose:
+    ``shard_batch``'s device_put of host-local data onto a global sharding
+    is exactly the multi-host hazard the checkpoint restore path had.
     """
     from lmnet_tpu.metrics.hd95 import hausdorff_distance_95
 
     cm = ConfusionAccumulator.init(num_classes)
     total_loss = 0.0
-    hd_vals: list[float] = []
+    hd_sum, hd_cnt = 0.0, 0
     for images, masks in loader:
         x, y = augment.eval_pipeline(images, masks, out_size=img_size)
-        if mesh is not None:
+        if mesh is not None and not cross_host:
             from lmnet_tpu.parallel.mesh import shard_batch
 
             x, y = shard_batch(mesh, x, y, spatial=spatial)
@@ -102,11 +112,41 @@ def evaluate(
             for p, t in zip(np.asarray(preds), np.asarray(y)):
                 v = hausdorff_distance_95(p == 1, t == 1)
                 if not np.isnan(v):
-                    hd_vals.append(v)
+                    hd_sum += v
+                    hd_cnt += 1
+    cm, total_loss, hd_sum, hd_cnt = _allreduce_eval(
+        cm, float(total_loss), hd_sum, hd_cnt, cross_host, num_classes
+    )
     metrics = {k: float(v) for k, v in derived_metrics(cm).items()}
     if compute_hd95:
-        metrics["hd95"] = float(np.mean(hd_vals)) if hd_vals else float("nan")
+        metrics["hd95"] = hd_sum / hd_cnt if hd_cnt else float("nan")
     return float(total_loss), metrics
+
+
+def _allreduce_eval(cm, total_loss, hd_sum, hd_cnt, cross_host, num_classes):
+    """Sum per-host eval accumulators across processes (no-op single-host).
+
+    One fixed-shape f64 payload per process through
+    ``multihost_utils.process_allgather`` — every process must call this
+    (it is a collective), which holds because every process runs
+    ``evaluate`` on its shard.
+    """
+    if not cross_host or jax.process_count() == 1:
+        return cm, total_loss, hd_sum, hd_cnt
+    from jax.experimental import multihost_utils
+
+    payload = np.concatenate(
+        [
+            np.asarray(cm, np.float64).ravel(),
+            np.asarray([total_loss, hd_sum, float(hd_cnt)], np.float64),
+        ]
+    )
+    summed = np.asarray(multihost_utils.process_allgather(payload)).sum(axis=0)
+    k = num_classes * num_classes
+    cm = jnp.asarray(
+        summed[:k].reshape(num_classes, num_classes), jnp.asarray(cm).dtype
+    )
+    return cm, float(summed[k]), float(summed[k + 1]), int(summed[k + 2])
 
 
 def visualize(

@@ -118,3 +118,61 @@ def test_checkpoint_roundtrip(tmp_path, state, rng):
     s2a, l_a, _ = train_step(s1, x, y, jax.random.key(2), ConfusionAccumulator.init(2))
     s2b, l_b, _ = train_step(restored, x, y, jax.random.key(2), ConfusionAccumulator.init(2))
     np.testing.assert_array_equal(float(l_a), float(l_b))
+
+
+def test_sharded_eval_aggregation_matches_whole(state):
+    """Multi-host eval protocol: evaluating per-host manifest SHARDS and
+    summing the accumulator payloads (train.loop._allreduce_eval's math)
+    must equal evaluating the whole set on one host."""
+    from lmnet_tpu.data.datasets import SyntheticDataset, make_loader
+    from lmnet_tpu.metrics.confusion import ConfusionAccumulator, derived_metrics
+    from lmnet_tpu.data import augment
+    from lmnet_tpu.train.engine import eval_step
+    from lmnet_tpu.train.loop import evaluate
+
+    mk = lambda ds: make_loader(ds, 2, shuffle=False, seed=0, epoch=0,
+                                num_threads=1, drop_last=False)
+
+    def eval_sharded(full, world):
+        cm = ConfusionAccumulator.init(2)
+        loss_sum, total = 0.0, 0
+        for r in range(world):
+            shard = full.shard(r, world)
+            total += len(shard)
+            for images, masks in mk(shard):
+                x, y = augment.eval_pipeline(images, masks, out_size=TINY_HW)
+                loss, cm, _ = eval_step(state, x, y, cm, num_classes=2)
+                loss_sum += float(loss)
+        assert total == len(full)  # shards are a disjoint cover
+        return loss_sum, {k: float(v) for k, v in derived_metrics(cm).items()}
+
+    # even split (8 = 2 hosts x 2 full batches): metrics match exactly;
+    # the loss only approximately — class-WEIGHTED CE normalizes by the
+    # batch's weight mass (sum w[y] over its pixels), so sum-of-batch-means
+    # is not separable across different batch groupings (torch semantics,
+    # same property as the reference under DistributedSampler)
+    full = SyntheticDataset(8, TINY_HW, "val", seed=3)
+    loss_full, m_full = evaluate(state, mk(full), num_classes=2,
+                                 img_size=TINY_HW)
+    loss_sh, m_sh = eval_sharded(full, 2)
+    np.testing.assert_allclose(loss_sh, loss_full, rtol=2e-2)
+    for k in m_full:
+        np.testing.assert_allclose(m_sh[k], m_full[k], rtol=1e-5, err_msg=k)
+
+    # ragged split (6 -> per-host tail batch of 1): confusion-derived
+    # metrics are EXACT regardless of batching; only the sum-of-batch-mean
+    # loss reweights (same property as the reference's DistributedSampler)
+    full6 = SyntheticDataset(6, TINY_HW, "val", seed=4)
+    _, m_full6 = evaluate(state, mk(full6), num_classes=2, img_size=TINY_HW)
+    _, m_sh6 = eval_sharded(full6, 2)
+    for k in m_full6:
+        np.testing.assert_allclose(m_sh6[k], m_full6[k], rtol=1e-5, err_msg=k)
+
+
+def test_allreduce_eval_single_process_noop():
+    from lmnet_tpu.train.loop import _allreduce_eval
+
+    cm = jnp.arange(4).reshape(2, 2)
+    out = _allreduce_eval(cm, 1.5, 2.0, 3, cross_host=True, num_classes=2)
+    assert out[1] == 1.5 and out[2] == 2.0 and out[3] == 3
+    np.testing.assert_array_equal(np.asarray(out[0]), np.asarray(cm))
