@@ -131,7 +131,14 @@ def _nat_flat_kernel(
     vws = all_shifted(vf)
 
     def attend(q, row_sl, ci):
-        """q: (n, WC) query rows; row_sl(oh) -> halo row slice; ci: bias case."""
+        """q: (n, WC) query rows; row_sl(oh) -> halo row slice; ci: bias case.
+
+        Softmax runs in base 2: log2(e) is folded into the q scale and the
+        trace-time bias table, so the 9 transcendentals are bare exp2
+        (the VPU's exp is exp2(x*log2e) — folding removes the hidden
+        multiply). The weighted sum accumulates UNNORMALIZED and scales by
+        1/den once at the end (9 fewer (rows, WC) multiplies than
+        normalizing each weight)."""
         ls = []
         for oh in range(3):
             for ow in range(3):
@@ -141,20 +148,20 @@ def _nat_flat_kernel(
         m = ls[0]
         for l in ls[1:]:
             m = jnp.maximum(m, l)
-        es = [jnp.exp(l - m) for l in ls]
+        es = [jnp.exp2(l - m) for l in ls]
         den = es[0]
         for e in es[1:]:
             den = den + e
-        inv = 1.0 / den
         out = jnp.zeros_like(q)
         i = 0
         for oh in range(3):
             for ow in range(3):
-                out = out + (es[i] * inv) * row_sl(vws[ow], oh)
+                out = out + es[i] * row_sl(vws[ow], oh)
                 i += 1
-        return out
+        return out * (1.0 / den)
 
-    q_all = q_ref[0].astype(jnp.float32) * scale  # (rows, WC)
+    LOG2E = 1.4426950408889634
+    q_all = q_ref[0].astype(jnp.float32) * (scale * LOG2E)  # (rows, WC)
 
     # interior: window start row = global_row - 1 = halo row r  (r in [0,rows))
     out = attend(q_all, lambda a, oh: a[oh : oh + rows], 1)
@@ -209,7 +216,9 @@ def nat_flat(q, k, v, rpb, heads: int, C: int, W: int,
         return out.reshape(B, H, WC)
     nb = H // rows
 
-    bias = _bias_table_flat(rpb, W, C)
+    # base-2 softmax: log2(e) folds into the bias table (trace-time) and
+    # the q scale (see _nat_flat_kernel.attend)
+    bias = _bias_table_flat(rpb, W, C) * 1.4426950408889634
 
     # 1-row halos are fetched as single-row blocks of a FREE stripe-major
     # view (B, nb, rows, WC) — fetching full adjacent stripes tripled the
