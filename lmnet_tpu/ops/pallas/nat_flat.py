@@ -335,7 +335,15 @@ def _nat_flat_bwd_kernel(
     kws = all_shifted(kf)
     vws = all_shifted(vf)
 
-    qs = q_ref[0].astype(jnp.float32) * scale  # (rows, WC)
+    # base-2 softmax recompute (see the forward kernel): log2(e) is folded
+    # into qs and the bias table, so the 18 transcendentals below are bare
+    # exp2. The softmax VALUE a is base-invariant, and dl = a*(da - delta)
+    # is the NATURAL-logit cotangent either way (the jacobian a(delta - a)
+    # has no base factor), so dq (= dl * raw_k * scale) and dbias (= sum dl)
+    # are untouched; only dk — accumulated as dl * qs with log2e folded into
+    # qs — carries a stray log2e, cancelled by ln2 in nat_flat_bwd's final
+    # dk cast.
+    qs = q_ref[0].astype(jnp.float32) * (scale * 1.4426950408889634)
     g_full = g_ref[0].astype(jnp.float32)
 
     # fixup rows (image top/bottom) are excluded from the interior path by
@@ -368,7 +376,7 @@ def _nat_flat_bwd_kernel(
         num = jnp.zeros_like(m)
         for islot in range(9):
             oh, ow = islot // 3, islot % 3
-            e = jnp.exp(logit(oh, ow) - m)
+            e = jnp.exp2(logit(oh, ow) - m)
             den = den + e
             da = _seg_sum_broadcast(g_rows * row_sl(vws[ow], oh), hd, C)
             num = num + e * da
@@ -378,7 +386,7 @@ def _nat_flat_bwd_kernel(
         dq = jnp.zeros((n, q_rows.shape[-1]), jnp.float32)
         for islot in range(9):
             oh, ow = islot // 3, islot % 3
-            a = jnp.exp(logit(oh, ow) - m) * inv
+            a = jnp.exp2(logit(oh, ow) - m) * inv
             da = _seg_sum_broadcast(g_rows * row_sl(vws[ow], oh), hd, C)
             dl = a * (da - delta)
             dq = dq + dl * row_sl(kws[ow], oh)
@@ -492,7 +500,8 @@ def nat_flat_bwd(q, k, v, rpb, g, heads: int, C: int, W: int,
         return vjp(g)
     nb = H // rows
 
-    bias = _bias_table_flat(rpb, W, C)
+    # base-2 softmax recompute (see _nat_flat_bwd_kernel)
+    bias = _bias_table_flat(rpb, W, C) * 1.4426950408889634
     stripe = lambda im: pl.BlockSpec((1, rows, WC), im, memory_space=pltpu.VMEM)
     up = stripe(lambda b, i: (b, jnp.maximum(i - 1, 0), 0))
     center = stripe(lambda b, i: (b, i, 0))
@@ -533,7 +542,8 @@ def nat_flat_bwd(q, k, v, rpb, g, heads: int, C: int, W: int,
             pltpu.VMEM((rows + 2, WC), q.dtype),
         ],
     )(q, g, k, k, k, v, v, v, bias)
-    dk = _combine_halo(dkh, H, rows).astype(k.dtype)
+    # ln2 cancels the log2e folded into the kernel's qs (dk = dl * qs)
+    dk = (_combine_halo(dkh, H, rows) * 0.6931471805599453).astype(k.dtype)
     dv = _combine_halo(dvh, H, rows).astype(v.dtype)
     drpb = _unflatten_dbias(dbias, heads, C, W).astype(rpb.dtype)
     return dq, dk, dv, drpb
