@@ -92,6 +92,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--k_fold", type=str2bool, default=True)
     p.add_argument("--hd95", action="store_true", default=False,
                    help="report 95th-pct Hausdorff distance on eval/test")
+    p.add_argument("--natt_int8", action="store_true", default=False,
+                   help="(with --test --serve) int8 NATT interiors: +0.6%% "
+                        "e2e at ~1-2%% activation quantization error — "
+                        "validate Dice on real data before production use")
     p.add_argument("--serve", action="store_true", default=False,
                    help="run --test inference through the fused serving engine "
                         "(structural_reparam + serve.deploy_forward)")
@@ -279,6 +283,7 @@ def main_single(fold: int, args) -> dict:
             test_loss, m = serving_evaluate(
                 state, test_loader, args.num_classes, args.img_size,
                 compute_hd95=args.hd95, num_heads=args.num_heads or 12,
+                natt_int8=args.natt_int8,
             )
         else:
             test_loss, m = evaluate(

@@ -145,6 +145,10 @@ def _nat_flat_kernel(
                 prod = q * row_sl(kws[ow], oh)
                 l = _seg_sum_broadcast(prod, hd, C)
                 ls.append(l + bias_ref[ci, oh * 3 + ow][None, :])
+        # NB a center-window softmax pivot (skip the 9-way max; saves 8
+        # maxes + 1 sub + 1 exp2 per pass) measured e2e-NEUTRAL (1349 vs
+        # 1348-1355 band) — the kernel is roll/DMA-bound, not
+        # transcendental-bound. Exact max kept for overflow robustness.
         m = ls[0]
         for l in ls[1:]:
             m = jnp.maximum(m, l)

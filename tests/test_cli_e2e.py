@@ -81,6 +81,16 @@ def test_cli_end_to_end(tmp_path, capsys):
     assert abs(flax_loss - serve_loss) <= max(0.05 * abs(flax_loss), 0.05)
     assert abs(float(trows[0][5]) - float(trows[1][5])) <= 0.02  # dice
 
+    # --- serving engine + int8 NATT interiors -----------------------------
+    cli.main(_base_argv(tmp_path, 4) + ["--test", "--serve", "--natt_int8"])
+    trows = _rows(test_csv)
+    assert len(trows) == 3 and len(trows[2]) == 8
+    # int8 quantization noise must stay within a loose band of the bf16 path
+    assert abs(float(trows[1][0]) - float(trows[2][0])) <= max(
+        0.05 * abs(float(trows[1][0])), 0.05
+    )
+    assert abs(float(trows[1][5]) - float(trows[2][5])) <= 0.03  # dice
+
     # --- visualization mode ----------------------------------------------
     cli.main(_base_argv(tmp_path, 4) + ["--visualization"])
     viz = out / "viz"
