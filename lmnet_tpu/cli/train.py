@@ -27,6 +27,19 @@ import random
 import jax
 import numpy as np
 
+# The container's sitecustomize may pre-register a TPU plugin at interpreter
+# startup and pin jax_platforms='axon,cpu', which silently overrides the
+# user's JAX_PLATFORMS env — `JAX_PLATFORMS=cpu python -m lmnet_tpu.cli.train`
+# would still initialize (and hang/fail on) the TPU tunnel. Re-assert an
+# explicit non-axon platform choice; tests apply the same in conftest.py.
+_plat = os.environ.get("JAX_PLATFORMS", "")
+if _plat and "axon" not in _plat.split(","):
+    jax.config.update("jax_platforms", _plat)
+    import jax.extend.backend as _jb
+
+    _jb.clear_backends()
+del _plat
+
 
 def set_seed(seed: int = 42) -> None:
     """Reference set_seed (data_loading.py:28-35) without the CUDA knobs:
@@ -119,6 +132,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "(default: the reference's 12,24,48,96,192)")
     p.add_argument("--num_heads", type=int, default=None,
                    help="NAT heads (default: the reference's 12)")
+    p.add_argument("--rc_remat", type=str2bool, default=True,
+                   help="jax.checkpoint the ReparamConv blocks in training "
+                        "(recompute branches in bwd instead of spilling "
+                        "their activations; see models/lm_net.py)")
     return p
 
 
@@ -231,6 +248,7 @@ def main_single(fold: int, args) -> dict:
         num_classes=args.num_classes,
         deep_supervision=args.deep_supervision,
         dtype=jnp.bfloat16 if args.apm else None,
+        rc_remat=args.rc_remat,
         **model_kw,
     )
     tx = make_optimizer(

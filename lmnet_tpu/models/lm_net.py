@@ -56,6 +56,15 @@ class LMNet(nn.Module):
     dtype: Any = None
     nat_backend: str = "auto"  # 'auto' | 'pallas' | 'xla' (see blocks.NeighborhoodAttention2D)
     rc_train_backend: str = "auto"  # 'auto' | 'fused' | 'xla' (see blocks.ReparamConv)
+    # Remat (jax.checkpoint) every ReparamConv block so the backward pass
+    # recomputes the 4 depthwise branches instead of storing their ~B*H*W*ec
+    # activations as autodiff residuals. At B=128/256² the stored branches
+    # push HBM past capacity and XLA falls back to *compressed* remat — giant
+    # transposing copies the core stalls on (~65% idle step time, measured:
+    # perf/xplane_top.py gap analysis). Recompute is a handful of cheap
+    # depthwise convs; eval/deploy graphs are unaffected (no grad = no
+    # recompute). Default on for training.
+    rc_remat: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = False, deterministic: bool | None = None):
@@ -64,8 +73,15 @@ class LMNet(nn.Module):
         dt = self.dtype
         ge = self.gelu_exact
 
+        # static_argnums=(2,): `train`; flax offsets for `self` internally
+        rc_cls = (
+            nn.remat(ReparamConv, static_argnums=(2,))
+            if self.rc_remat and not self.deploy
+            else ReparamConv
+        )
+
         def rc(name, expand, out):
-            return ReparamConv(
+            return rc_cls(
                 expand, out, 5, 3, deploy=self.deploy, gelu_exact=ge, dtype=dt,
                 rc_train_backend=self.rc_train_backend, name=name,
             )

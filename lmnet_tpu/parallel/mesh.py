@@ -67,9 +67,29 @@ def shard_batch(mesh: Mesh, images, labels, spatial: bool = True):
     Axes that don't divide evenly (e.g. a ragged tail eval batch) fall back
     to replication on that axis — correctness is preserved, only the tail
     batch loses parallelism.
+
+    Multi-host: each process passes its HOST-LOCAL batch (its manifest
+    shard — see cli ``_datasets``) and it becomes this process's slice of
+    the global array via ``make_array_from_process_local_data``; a plain
+    ``device_put`` onto a global sharding would raise on non-addressable
+    devices (and silently assumes every host holds identical data).
+    The global batch is then world_size * local_batch.
     """
     n_data = mesh.shape["data"]
     n_spatial = mesh.shape["spatial"]
+    if jax.process_count() > 1:
+        b_ok = images.shape[0] * jax.process_count() % n_data == 0
+        h_ok = spatial and images.shape[1] % n_spatial == 0
+        spec = P("data" if b_ok else None, "spatial" if h_ok else None)
+        sh = NamedSharding(mesh, spec)
+        # np.asarray syncs device-resident inputs back to host here (the
+        # on-device augment output) — acceptable for correctness; if a
+        # real multi-host profile shows this bounce, hoist shard_batch
+        # before the augment pipeline so raw host batches shard directly.
+        return (
+            jax.make_array_from_process_local_data(sh, np.asarray(images)),
+            jax.make_array_from_process_local_data(sh, np.asarray(labels)),
+        )
     b_ok = images.shape[0] % n_data == 0
     h_ok = spatial and images.shape[1] % n_spatial == 0
     spec = P("data" if b_ok else None, "spatial" if h_ok else None)

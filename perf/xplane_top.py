@@ -29,13 +29,17 @@ def top_ops(logdir: str, top: int):
     xs.ParseFromString(open(sorted(paths)[-1], "rb").read())
     totals = {}
     cats = {}
+    spans = []  # (offset_ps, duration_ps, name) for gap analysis
     for plane in xs.planes:
         if "TPU" not in plane.name and "/device" not in plane.name:
             continue
         ev_meta = {m.id: m.name for m in plane.event_metadata.values()}
         for line in plane.lines:
-            if "XLA Op" not in line.name and "Steps" not in line.name and line.name != "":
-                pass
+            # ONLY the op-level lines: the "XLA Modules" / "Steps" lines
+            # carry whole-program envelope events (e.g. one 685 ms
+            # fori_loop body) that would swamp every category as "other"
+            if "XLA Op" not in line.name:
+                continue
             for ev in line.events:
                 name = ev_meta.get(ev.metadata_id, "?")
                 # skip the enclosing jit event and async copy spans (they
@@ -57,14 +61,41 @@ def top_ops(logdir: str, top: int):
                 d = ev.duration_ps / 1e9
                 if cat != "async-weight-copy (overlapped)":
                     totals[name] = totals.get(name, 0) + d
+                    spans.append((ev.offset_ps, ev.duration_ps, name))
                 cats[cat] = cats.get(cat, 0) + d
-    print("category totals (ms, 3 fwd passes):")
+    print("category totals (ms over the traced span):")
     for c, v in sorted(cats.items(), key=lambda kv: -kv[1]):
         print(f"  {v:9.2f}  {c}")
     items = sorted(totals.items(), key=lambda kv: -kv[1])
     print("top events:")
     for name, ms in items[:top]:
         print(f"  {ms:9.3f} ms  {name[:110]}")
+    # --- idle-gap analysis: where the core waits ------------------------
+    # op self-time that doesn't cover the span = the core idling on DMA /
+    # infeed / dependencies. List the largest gaps with their neighbors.
+    if spans:
+        spans.sort()
+        covered = 0.0
+        gaps = []
+        cur_end = spans[0][0]
+        prev_name = "(trace start)"
+        for off, dur, name in spans:
+            if off > cur_end:
+                gaps.append((off - cur_end, prev_name, name))
+            new_end = off + dur
+            if new_end > cur_end:
+                covered += new_end - max(off, cur_end)
+                cur_end = new_end
+                prev_name = name
+        total_span = cur_end - spans[0][0]
+        print(
+            f"op coverage: {covered / 1e9:.1f} ms busy of {total_span / 1e9:.1f} ms span "
+            f"({100 * covered / max(total_span, 1):.0f}% — the rest is the core waiting)"
+        )
+        print("largest idle gaps (ms, between which ops):")
+        for g, a, b in sorted(gaps, reverse=True)[:12]:
+            print(f"  {g / 1e9:9.3f}  after {a[:60]!s}")
+            print(f"             before {b[:60]!s}")
 
 
 def main():

@@ -113,6 +113,43 @@ def test_rc_branch_act_grads_match_xla_vjp(rng):
         )
 
 
+def test_reparamconv_remat_grad_parity(rng):
+    """nn.remat(ReparamConv, static_argnums=(2,)) == plain ReparamConv:
+    identical param tree and (up to reassociation) identical grads.
+
+    This pins the ``rc_remat`` wiring in models/lm_net.py: LMNet wraps each
+    ReparamConv in nn.remat during training so the backward pass recomputes
+    the 4 depthwise branches instead of spilling their activations (which
+    at B=128/256² pushes XLA into compressed-remat copies the core idles on).
+    """
+    import flax.linen as nn
+
+    from lmnet_tpu.models.blocks import ReparamConv
+
+    x = jnp.asarray(rng.randn(2, 16, 16, 6), jnp.float32)
+    ct = jnp.asarray(rng.randn(2, 16, 16, 12), jnp.float32)
+
+    def run(cls):
+        m = cls(18, 12, 5, 3, deploy=False)
+        params = m.init(jax.random.key(0), x, True)
+
+        def loss(p, x):
+            out, _ = m.apply(p, x, True, mutable=["batch_stats"])
+            return jnp.sum(out * ct)
+
+        return params, jax.jit(jax.grad(loss))(params, x)
+
+    p1, g1 = run(nn.remat(ReparamConv, static_argnums=(2,)))
+    p2, g2 = run(ReparamConv)
+    assert jax.tree_util.tree_structure(p1) == jax.tree_util.tree_structure(p2)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4
+        ),
+        g1, g2,
+    )
+
+
 def test_reparamconv_module_fused_matches_xla(rng):
     """blocks.ReparamConv(rc_train_backend='fused') == backend 'xla': same
     output, same grads, same updated batch_stats (full module semantics:
