@@ -64,6 +64,13 @@ def str2bool(v) -> bool:
     raise argparse.ArgumentTypeError(f"boolean value expected, got {v!r}")
 
 
+def _rc_remat_arg(v):
+    """--rc_remat value: a bool word, 'full', or 'branches' (lm_net.rc_remat)."""
+    if v.lower() in ("full", "branches"):
+        return v.lower()
+    return str2bool(v)
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="LM-Net TPU training")
     p.add_argument("--num_classes", type=int, default=2)
@@ -132,10 +139,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "(default: the reference's 12,24,48,96,192)")
     p.add_argument("--num_heads", type=int, default=None,
                    help="NAT heads (default: the reference's 12)")
-    p.add_argument("--rc_remat", type=str2bool, default=True,
-                   help="jax.checkpoint the ReparamConv blocks in training "
-                        "(recompute branches in bwd instead of spilling "
-                        "their activations; see models/lm_net.py)")
+    p.add_argument("--rc_remat", type=_rc_remat_arg, default=True,
+                   help="jax.checkpoint the ReparamConv blocks in training: "
+                        "true/full (recompute the whole block in bwd), "
+                        "branches (keep the expand output, recompute only "
+                        "the depthwise branches), false (no remat); "
+                        "see models/lm_net.py")
     return p
 
 

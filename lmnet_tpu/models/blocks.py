@@ -29,6 +29,7 @@ from typing import Any, Sequence
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from lmnet_tpu.ops.nat import neighborhood_attention
 from lmnet_tpu.ops.resize import (
@@ -332,6 +333,15 @@ class ReparamConv(nn.Module):
         ec = self.expand_channels
         s = (self.stride, self.stride)
         x1 = TorchConv(ec, (1, 1), dtype=self.dtype, name="expand_conv")(x)
+        # Checkpoint-policy anchor: under LMNet(rc_remat='branches') the
+        # block is nn.remat'ed with save_only_these_names('rc_expand'), so
+        # backward keeps THIS tensor (the expand conv output — the block's
+        # one MXU product) and recomputes only elementwise BN/hswish and the
+        # cheap depthwise branches + SE. Pre-BN placement matters: BN's
+        # backward needs its *input*, so anchoring post-BN/hswish would
+        # still force an expand-conv recompute. A no-op unless a remat
+        # policy references the name.
+        x1 = checkpoint_name(x1, "rc_expand")
         x1 = batch_norm("expand_bn", train, self.dtype)(x1)
         x1 = jax.nn.hard_swish(x1)
 

@@ -19,6 +19,7 @@ from __future__ import annotations
 from typing import Any
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from lmnet_tpu.models.blocks import (
@@ -64,7 +65,12 @@ class LMNet(nn.Module):
     # perf/xplane_top.py gap analysis). Recompute is a handful of cheap
     # depthwise convs; eval/deploy graphs are unaffected (no grad = no
     # recompute). Default on for training.
-    rc_remat: bool = True
+    #   False      — no remat (XLA decides what to spill)
+    #   True/'full'— recompute the whole block from its input
+    #   'branches' — keep the expanded activation (the block's one MXU
+    #                product, checkpoint_name 'rc_expand' in blocks.py) and
+    #                recompute only the depthwise branches + SE
+    rc_remat: bool | str = True
 
     @nn.compact
     def __call__(self, x, train: bool = False, deterministic: bool | None = None):
@@ -74,11 +80,15 @@ class LMNet(nn.Module):
         ge = self.gelu_exact
 
         # static_argnums=(2,): `train`; flax offsets for `self` internally
-        rc_cls = (
-            nn.remat(ReparamConv, static_argnums=(2,))
-            if self.rc_remat and not self.deploy
-            else ReparamConv
-        )
+        if self.rc_remat and not self.deploy:
+            policy = (
+                jax.checkpoint_policies.save_only_these_names("rc_expand")
+                if self.rc_remat == "branches"
+                else None  # True/'full': recompute everything from the input
+            )
+            rc_cls = nn.remat(ReparamConv, static_argnums=(2,), policy=policy)
+        else:
+            rc_cls = ReparamConv
 
         def rc(name, expand, out):
             return rc_cls(

@@ -63,6 +63,8 @@ def main():
     ap.add_argument("--fp32", action="store_true")
     ap.add_argument("--no_remat", action="store_true",
                     help="disable ReparamConv remat (A/B the checkpoint policy)")
+    ap.add_argument("--remat_mode", default=None, choices=["full", "branches"],
+                    help="ReparamConv remat variant (default: full recompute)")
     args = ap.parse_args()
     B, S = args.batch, args.size
     dtype = jnp.float32 if args.fp32 else jnp.bfloat16
@@ -75,8 +77,9 @@ def main():
 
     print(f"batch={B} size={S} dtype={dtype.__name__} device={jax.devices()[0]}")
 
+    rc_remat = False if args.no_remat else (args.remat_mode or True)
     model = LMNet(num_classes=2, dtype=None if args.fp32 else dtype,
-                  rc_remat=not args.no_remat)
+                  rc_remat=rc_remat)
     state = create_train_state(
         model, jax.random.key(0), (1, 64, 64, 3), epochs=200, steps_per_epoch=100
     )

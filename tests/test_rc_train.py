@@ -150,6 +150,42 @@ def test_reparamconv_remat_grad_parity(rng):
     )
 
 
+def test_lmnet_rc_remat_branches_policy(rng):
+    """LMNet(rc_remat='branches') — the save_only_these_names('rc_expand')
+    policy — matches the unremat'ed model's grads, and its backward actually
+    saves the expand conv output: one fewer recomputed conv per RC block
+    than rc_remat=True in the grad jaxpr."""
+    from lmnet_tpu.models.lm_net import LMNet
+
+    x = jnp.asarray(rng.randn(2, 32, 32, 3), jnp.float32)
+
+    def grads(mode):
+        model = LMNet(num_classes=2, rc_remat=mode)
+        params = model.init(
+            jax.random.key(0), jnp.zeros((1, 32, 32, 3)), train=True
+        )
+
+        def loss(p, x):
+            out, _ = model.apply(
+                p, x, train=True, rngs={"dropout": jax.random.key(3)},
+                mutable=["batch_stats"],
+            )
+            logits = out[0] if isinstance(out, (tuple, list)) else out
+            return jnp.sum(logits.astype(jnp.float32) ** 2)
+
+        gfn = jax.grad(loss, argnums=1)
+        nconvs = str(jax.make_jaxpr(gfn)(params, x)).count("conv_general_dilated")
+        return jax.jit(gfn)(params, x), nconvs
+
+    g_plain, n_plain = grads(False)
+    g_br, n_br = grads("branches")
+    # 16 RC blocks; full remat recomputes the expand conv, 'branches' keeps it
+    assert n_br < n_plain + 16 * 7, (n_br, n_plain)
+    np.testing.assert_allclose(
+        np.asarray(g_br), np.asarray(g_plain), rtol=1e-4, atol=1e-4
+    )
+
+
 def test_reparamconv_module_fused_matches_xla(rng):
     """blocks.ReparamConv(rc_train_backend='fused') == backend 'xla': same
     output, same grads, same updated batch_stats (full module semantics:
