@@ -45,10 +45,20 @@ def init_distributed_mode(coordinator_address: str | None = None) -> None:
     ) > 1
     if not (explicit or slurm):
         return
+    # The reference's RANK/WORLD_SIZE env branch (:8-11): JAX has no generic
+    # process-id env of its own (only SLURM/OMPI/K8s auto-detection), so a
+    # bare torchrun-style launch communicates identity the same way it does
+    # for the reference. Exercised for real by tests/test_multihost.py.
+    rank = os.environ.get("RANK")
+    world = os.environ.get("WORLD_SIZE")
     try:
         # under SLURM with no explicit address, let JAX's cluster
         # auto-detection (SlurmCluster) fill in everything
-        jax.distributed.initialize(coordinator_address=coordinator_address)
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=int(world) if world is not None else None,
+            process_id=int(rank) if rank is not None else None,
+        )
     except RuntimeError:
         pass  # already initialized
 
