@@ -364,16 +364,21 @@ def main_single(fold: int, args) -> dict:
             with open(os.path.join(args.out_dir, f"{tag}_{fold}.csv"),
                       "a", encoding="utf-8", newline="") as fw:
                 csv.writer(fw).writerow(f"{e:.4f}" for e in row)
-            ckpt.save_checkpoint(
-                args.ckpt_dir, rolling, state, epoch,
-                best_iou=max(best_iou, vm["iou"]),
-            )
+        # checkpoint saves are called by EVERY process: Orbax's save is a
+        # collective in multi-process runs (its completion barrier would
+        # deadlock a main-process-only call); it writes from the primary
+        # host once. vm is identical across processes (cross-host-reduced),
+        # so every process takes the same best-iou branch.
+        ckpt.save_checkpoint(
+            args.ckpt_dir, rolling, state, epoch,
+            best_iou=max(best_iou, vm["iou"]),
+        )
         if vm["iou"] > best_iou:
             best_iou = vm["iou"]
+            ckpt.save_checkpoint(
+                args.ckpt_dir, best_name, state, epoch, best_iou=best_iou
+            )
             if is_main_process():
-                ckpt.save_checkpoint(
-                    args.ckpt_dir, best_name, state, epoch, best_iou=best_iou
-                )
                 with open(os.path.join(args.out_dir, f"{tag}bestresult_{fold}.csv"),
                           "w", encoding="utf-8", newline="") as fw:
                     csv.writer(fw).writerow(f"{e:.4f}" for e in row)
@@ -472,6 +477,13 @@ def plot_curves(args, fold: int = 0) -> None:
 
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
+    # Multi-host rendezvous before any backend use (env-driven: RANK/
+    # WORLD_SIZE + JAX_COORDINATOR_ADDRESS, or SLURM; silent no-op on a
+    # single host) — the reference calls its equivalent at the same point
+    # (train.py:114 init_distributed_mode).
+    from lmnet_tpu.parallel.dist_utils import init_distributed_mode
+
+    init_distributed_mode()
     if args.plot:
         plot_curves(args)
         return

@@ -57,6 +57,20 @@ def save_checkpoint(
         }
         if extra:
             payload["extra"] = extra
+        if jax.process_count() > 1:
+            # The CLI gates saves to the main process, but a state replicated
+            # over the GLOBAL mesh is not fully addressable on any single
+            # process — Orbax would require an all-process collective save
+            # (and its barrier would deadlock a one-process call). The state
+            # is always fully replicated (params/opt/BN), so pull the local
+            # replica to host numpy and save purely locally instead.
+            import numpy as _np
+
+            payload = jax.tree.map(
+                lambda a: _np.asarray(jax.device_get(a))
+                if isinstance(a, jax.Array) else a,
+                payload,
+            )
         ckptr.save(path, payload, force=True)
 
 

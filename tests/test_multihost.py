@@ -51,6 +51,59 @@ def _result(out: str) -> dict:
     raise AssertionError(f"no RESULT line in worker output:\n{out[-2000:]}")
 
 
+def test_two_process_cli_end_to_end(tmp_path):
+    """The FULL CLI surface across 2 processes: env rendezvous from main(),
+    per-host synthetic dataset sharding, global-mesh training, cross-host
+    eval, collective Orbax checkpoint save (would deadlock if gated to the
+    main process — Orbax's completion barrier needs every process), and
+    main-process-only CSV writes."""
+    out0, out1 = tmp_path / "out0", tmp_path / "out1"
+    ckpt = tmp_path / "ckpt"
+    for d in (out0, out1, ckpt):
+        d.mkdir()
+    common = [
+        "-m", "lmnet_tpu.cli.train", "--synthetic", "--epochs", "1",
+        "--batch_size", "4", "--img_size", "32",
+        "--filters", "4,8,16,32,64", "--num_heads", "4",
+        "--k_fold", "False", "--distributed", "True",
+        "--ckpt_dir", str(ckpt),
+    ]
+
+    def launch(rank, out_dir):
+        env = dict(os.environ)
+        env.update(
+            RANK=str(rank), WORLD_SIZE="2",
+            JAX_COORDINATOR_ADDRESS="localhost:29481",
+            JAX_PLATFORMS="cpu",
+            XLA_FLAGS="--xla_force_host_platform_device_count=2",
+            PYTHONPATH=REPO,
+        )
+        return subprocess.Popen(
+            [sys.executable] + common + ["--out_dir", str(out_dir)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True,
+        )
+
+    p1 = launch(1, out1)
+    p0 = launch(0, out0)
+    o0, _ = p0.communicate(timeout=1400)
+    o1, _ = p1.communicate(timeout=120)
+    assert p0.returncode == 0, o0[-2000:]
+    assert p1.returncode == 0, o1[-2000:]
+    assert "fold 0 train end" in o0 and "fold 0 train end" in o1
+
+    # CSV contract: exactly one 16-col row, written by process 0 only
+    rows = (out0 / "LM_NetKvasir_0.csv").read_text().strip().splitlines()
+    assert len(rows) == 1 and len(rows[0].split(",")) == 16, rows
+    assert not list(out1.iterdir()), "non-main process wrote outputs"
+    # rolling checkpoint exists (the collective save completed)
+    assert (ckpt / "LM_NetKvasir_0_checkpoint").is_dir()
+    # the two processes computed the same global epoch (loss lines match)
+    line0 = [l for l in o0.splitlines() if "train_loss" in l]
+    line1 = [l for l in o1.splitlines() if "train_loss" in l]
+    assert line0 and line0 == line1
+
+
 def test_two_process_train_and_eval_match_single_process():
     p1 = _launch(1, 29431)
     p0 = _launch(0, 29431)
