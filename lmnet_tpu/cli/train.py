@@ -119,6 +119,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--serve", action="store_true", default=False,
                    help="run --test inference through the fused serving engine "
                         "(structural_reparam + serve.deploy_forward)")
+    p.add_argument("--rc_backend", type=str, default="xla",
+                   choices=("auto", "xla", "flat", "pallas"),
+                   help="(with --serve) ReparamConv backend; 'auto' = one-shot "
+                        "autotune on the first batch shape (a few extra "
+                        "compiles at startup, then the measured winner)")
+    p.add_argument("--nat_backend", type=str, default="",
+                   choices=("", "auto", "flat", "pallas", "xla"),
+                   help="(with --serve) NAT backend; '' = flat on TPU / xla "
+                        "elsewhere, 'auto' = one-shot autotune")
     # new, replacing hard-coded absolute paths
     p.add_argument("--img_size", type=int, default=256)
     p.add_argument("--manifest_dir", type=str, default="manifests")
@@ -310,7 +319,8 @@ def main_single(fold: int, args) -> dict:
             test_loss, m = serving_evaluate(
                 state, test_loader, args.num_classes, args.img_size,
                 compute_hd95=args.hd95, num_heads=args.num_heads or 12,
-                natt_int8=args.natt_int8,
+                natt_int8=args.natt_int8, rc_backend=args.rc_backend,
+                nat_backend=args.nat_backend or None,
             )
         else:
             test_loss, m = evaluate(

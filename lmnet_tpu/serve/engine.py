@@ -312,13 +312,96 @@ def deploy_forward(
     return _conv(p["output_layer"], x9).astype(jnp.float32)
 
 
+_AUTOTUNE_CACHE: dict = {}
+
+
+def pick_fastest(timings: dict, default=("xla", "xla")):
+    """Pure winner selection for :func:`autoselect_backends` — smallest
+    mean step time wins; an empty table (every candidate failed) falls
+    back to the always-available XLA pair."""
+    if not timings:
+        return default
+    return min(timings, key=timings.get)
+
+
+def autoselect_backends(
+    deploy_vars: dict,
+    x,
+    num_heads: int = 12,
+    rc_candidates=("xla", "flat"),
+    nat_candidates=("flat", "xla"),
+    iters: int = 8,
+    natt_int8: bool = False,
+    time_fn=None,
+):
+    """One-shot serve-time autotune: time ``deploy_forward`` for each
+    (rc, nat) backend combo on the REAL input shape and return the fastest
+    pair.  Replaces static per-size defaults (ROADMAP item 8) — measured
+    winners differ by size (rc='xla' beats the Pallas rc kernels at 256²,
+    but that was only ever measured at one size; this re-decides per shape
+    at the cost of a few extra compiles at engine startup).
+
+    The 'pallas' variants are excluded from the default candidate sets:
+    both were measured strictly slower at every size tried (BASELINE.md
+    round-2/3 ledgers) — pass them explicitly to re-test.  A candidate
+    that raises (unsupported shape/backend) is skipped, and if every
+    combo fails the XLA pair is returned.  Results are cached per
+    (shape, dtype, num_heads, candidates) for the process lifetime.
+
+    ``time_fn(rc, nat) -> seconds`` is injectable for tests.
+    """
+    key = (tuple(x.shape), str(x.dtype), num_heads, natt_int8,
+           tuple(rc_candidates), tuple(nat_candidates))
+    if key in _AUTOTUNE_CACHE:
+        return _AUTOTUNE_CACHE[key]
+
+    if time_fn is None:
+        import time as _time
+
+        def time_fn(rc, nat):
+            run = lambda: deploy_forward(
+                deploy_vars, x, num_heads=num_heads,
+                nat_backend=nat, rc_backend=rc, natt_int8=natt_int8,
+            )
+            run().block_until_ready()  # compile + warm outside the clock
+            t0 = _time.perf_counter()
+            out = None
+            for _ in range(iters):
+                out = run()  # async dispatch; block once to amortize RTT
+            out.block_until_ready()
+            return (_time.perf_counter() - t0) / iters
+
+    timings = {}
+    for rc in rc_candidates:
+        for nat in nat_candidates:
+            try:
+                timings[(rc, nat)] = time_fn(rc, nat)
+            except Exception:  # noqa: BLE001 — unsupported combo: skip it
+                continue
+    choice = pick_fastest(timings)
+    _AUTOTUNE_CACHE[key] = choice
+    return choice
+
+
+def _resolve_auto(deploy_vars, x, num_heads, rc_backend, nat_backend,
+                  natt_int8=False):
+    """Expand 'auto' in either backend slot via :func:`autoselect_backends`,
+    pinning a non-auto slot to its requested value."""
+    rc_cands = ("xla", "flat") if rc_backend == "auto" else (rc_backend,)
+    nat_cands = ("flat", "xla") if nat_backend == "auto" else (nat_backend,)
+    return autoselect_backends(
+        deploy_vars, x, num_heads,
+        rc_candidates=rc_cands, nat_candidates=nat_cands, natt_int8=natt_int8,
+    )
+
+
 def serving_evaluate(
     state,
     loader,
     num_classes: int = 2,
     img_size: int = 256,
     compute_hd95: bool = False,
-    rc_backend: str = "xla",
+    rc_backend: str = "xla",  # 'auto' = one-shot autotune on the first batch
     nat_backend: str | None = None,  # None -> flat on TPU, xla elsewhere
     num_heads: int = 12,
     natt_int8: bool = False,
@@ -348,23 +431,36 @@ def serving_evaluate(
         {"params": state.params, "batch_stats": state.batch_stats}
     )
 
-    @functools.partial(jax.jit, donate_argnames=("cm",))
-    def step(x, y, cm):
-        logits = deploy_forward(
-            deploy_vars, x, num_heads=num_heads,
-            rc_backend=rc_backend, nat_backend=nat_backend,
-            natt_int8=natt_int8,
-        )
-        loss = cross_entropy_loss(logits, y, (1.0, 4.0), 0.001)
-        preds = jnp.argmax(logits, axis=-1)
-        return loss, cm + confusion_matrix(preds, y, num_classes), preds
+    step = None
+
+    def _make_step(rc_b, nat_b):
+        @functools.partial(jax.jit, donate_argnames=("cm",))
+        def step(x, y, cm):
+            logits = deploy_forward(
+                deploy_vars, x, num_heads=num_heads,
+                rc_backend=rc_b, nat_backend=nat_b,
+                natt_int8=natt_int8,
+            )
+            loss = cross_entropy_loss(logits, y, (1.0, 4.0), 0.001)
+            preds = jnp.argmax(logits, axis=-1)
+            return loss, cm + confusion_matrix(preds, y, num_classes), preds
+
+        return step
 
     cm = ConfusionAccumulator.init(num_classes)
     total_loss = 0.0
     hd_vals = []
     for images, masks in loader:
         x, y = augment.eval_pipeline(images, masks, out_size=img_size)
-        loss, cm, preds = step(x.astype(jnp.bfloat16), y, cm)
+        xb = x.astype(jnp.bfloat16)
+        if step is None:
+            if "auto" in (rc_backend, nat_backend):
+                rc_backend, nat_backend = _resolve_auto(
+                    deploy_vars, xb, num_heads, rc_backend, nat_backend,
+                    natt_int8=natt_int8,
+                )
+            step = _make_step(rc_backend, nat_backend)
+        loss, cm, preds = step(xb, y, cm)
         total_loss += loss
         if compute_hd95:
             for pr, t in zip(np.asarray(preds), np.asarray(y)):

@@ -111,3 +111,95 @@ def test_deploy_forward_natt_int8(deploy_vars, rng):
     r, o = np.asarray(ref), np.asarray(out)
     rel = np.abs(r - o).mean() / (np.abs(r).mean() + 1e-9)
     assert rel < 0.05, f"int8 interior drift too large: {rel}"
+
+
+def test_autoselect_pick_fastest():
+    """Pure winner selection: smallest mean step time; empty table falls
+    back to the always-available XLA pair."""
+    from lmnet_tpu.serve.engine import pick_fastest
+
+    t = {("xla", "flat"): 0.010, ("flat", "flat"): 0.012, ("xla", "xla"): 0.011}
+    assert pick_fastest(t) == ("xla", "flat")
+    assert pick_fastest({}) == ("xla", "xla")
+
+
+def test_autoselect_backends_injected_timer():
+    """autoselect_backends with an injected time_fn: sweeps the candidate
+    cross product, skips raising combos, picks the winner, and caches the
+    choice per shape."""
+    from lmnet_tpu.serve import engine
+
+    engine._AUTOTUNE_CACHE.clear()
+    calls = []
+
+    def fake_time(rc, nat):
+        calls.append((rc, nat))
+        if rc == "flat":  # simulate an unsupported-shape failure
+            raise ValueError("unsupported")
+        return {"flat": 0.02, "xla": 0.01}[nat]
+
+    x = jnp.zeros((1, 8, 8, 3), jnp.bfloat16)
+    choice = engine.autoselect_backends({}, x, num_heads=2, time_fn=fake_time)
+    assert choice == ("xla", "xla")
+    assert set(calls) == {("xla", "flat"), ("xla", "xla"),
+                          ("flat", "flat"), ("flat", "xla")}
+    # second call with the same shape must hit the cache (no new timings)
+    n = len(calls)
+    assert engine.autoselect_backends({}, x, num_heads=2,
+                                      time_fn=fake_time) == ("xla", "xla")
+    assert len(calls) == n
+    engine._AUTOTUNE_CACHE.clear()
+
+
+def test_resolve_auto_pins_non_auto_slot():
+    """_resolve_auto with only one slot 'auto' never times combos outside
+    the pinned value of the other slot."""
+    from lmnet_tpu.serve import engine
+
+    engine._AUTOTUNE_CACHE.clear()
+    calls = []
+
+    def fake_time(rc, nat):
+        calls.append((rc, nat))
+        return 0.01 if rc == "flat" else 0.02
+
+    x = jnp.zeros((1, 8, 8, 4), jnp.bfloat16)
+    rc, nat = engine.autoselect_backends(
+        {}, x, num_heads=2, rc_candidates=("xla", "flat"),
+        nat_candidates=("xla",), time_fn=fake_time,
+    )
+    assert (rc, nat) == ("flat", "xla")
+    assert all(n == "xla" for _, n in calls)
+    engine._AUTOTUNE_CACHE.clear()
+
+
+def test_serving_evaluate_auto_routes_through_autotune(deploy_vars, monkeypatch):
+    """serving_evaluate(rc_backend='auto') resolves backends via the
+    autotune exactly once (on the first batch) and runs with its choice."""
+    from lmnet_tpu.serve import engine
+    from lmnet_tpu.train.engine import create_train_state
+    from lmnet_tpu.models import LMNet
+
+    model = LMNet(**TINY)
+    state = create_train_state(
+        model, jax.random.key(0), (1, TINY_HW, TINY_HW, 3), steps_per_epoch=1
+    )
+
+    calls = []
+
+    def fake_autoselect(dv, x, num_heads, **kw):
+        calls.append(x.shape)
+        return ("xla", "xla")
+
+    monkeypatch.setattr(engine, "autoselect_backends", fake_autoselect)
+    imgs = np.zeros((2, TINY_HW, TINY_HW, 3), np.float32)
+    masks = np.zeros((2, TINY_HW, TINY_HW), np.uint8)
+    loader = [(imgs, masks), (imgs, masks)]
+    loss, metrics = engine.serving_evaluate(
+        state, loader, num_classes=2, img_size=TINY_HW,
+        rc_backend="auto", nat_backend="xla",
+        num_heads=TINY["num_heads"],
+    )
+    assert len(calls) == 1  # resolved once, reused for every batch
+    assert np.isfinite(loss)
+    assert 0.0 <= metrics["iou"] <= 1.0
