@@ -119,6 +119,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--serve", action="store_true", default=False,
                    help="run --test inference through the fused serving engine "
                         "(structural_reparam + serve.deploy_forward)")
+    p.add_argument("--export", type=str, default=None, metavar="PATH",
+                   help="export the best checkpoint's re-parameterized "
+                        "deploy graph (weights baked in, symbolic batch) "
+                        "as a self-contained StableHLO serving artifact "
+                        "and exit (serve/export.py)")
     p.add_argument("--rc_backend", type=str, default="xla",
                    choices=("auto", "xla", "flat", "pallas"),
                    help="(with --serve) ReparamConv backend; 'auto' = one-shot "
@@ -309,6 +314,23 @@ def main_single(fold: int, args) -> dict:
         print(f"wrote {n} visualizations")
         return {}
 
+    if args.export:
+        from lmnet_tpu.models import structural_reparam
+        from lmnet_tpu.serve.export import save_deploy
+
+        if ckpt.checkpoint_exists(args.ckpt_dir, best_name):
+            state, _, _ = ckpt.restore_checkpoint(args.ckpt_dir, best_name, state)
+        deploy_vars = structural_reparam(
+            {"params": state.params, "batch_stats": state.batch_stats}
+        )
+        path = save_deploy(
+            args.export, deploy_vars, img_size=args.img_size,
+            num_heads=args.num_heads or 12, natt_int8=args.natt_int8,
+        )
+        print(f"wrote serving artifact {path} "
+              f"({os.path.getsize(path) / 1e6:.1f} MB)")
+        return {}
+
     if args.test:
         if ckpt.checkpoint_exists(args.ckpt_dir, rolling):
             state, _, _ = ckpt.restore_checkpoint(args.ckpt_dir, rolling, state)
@@ -497,7 +519,7 @@ def main(argv=None) -> None:
     if args.plot:
         plot_curves(args)
         return
-    folds = range(5) if (args.k_fold and not (args.test or args.visualization)) else [0]
+    folds = range(5) if (args.k_fold and not (args.test or args.visualization or args.export)) else [0]
     for fold in folds:
         print(f"========fold {fold} train begin========")
         main_single(fold, args)
