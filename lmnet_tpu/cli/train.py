@@ -343,6 +343,7 @@ def main_single(fold: int, args) -> dict:
                 compute_hd95=args.hd95, num_heads=args.num_heads or 12,
                 natt_int8=args.natt_int8, rc_backend=args.rc_backend,
                 nat_backend=args.nat_backend or None,
+                mesh=mesh, spatial=use_spatial,
             )
         else:
             test_loss, m = evaluate(

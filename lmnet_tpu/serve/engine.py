@@ -405,10 +405,18 @@ def serving_evaluate(
     nat_backend: str | None = None,  # None -> flat on TPU, xla elsewhere
     num_heads: int = 12,
     natt_int8: bool = False,
+    mesh=None,
+    spatial: bool = False,
 ):
     """Evaluate a *training* state through the fused serving path: reparam
     the variables once, then run ``deploy_forward`` over the loader (the
     CLI's ``--test --serve`` mode; reference --test is train.py:182-197).
+
+    ``mesh``: optional jax.sharding.Mesh — scale-out serving: batches are
+    sharded over the mesh's 'data' (+'spatial') axes and XLA partitions the
+    deploy graph across chips, exactly like the training-path ``evaluate``.
+    Note the Pallas NAT kernels currently require the full W·C lane extent
+    per device, so 'spatial' sharding pairs with ``nat_backend='xla'``.
 
     Returns (total CE loss, metrics dict) exactly like ``train.loop.evaluate``
     so the two paths are drop-in comparable.
@@ -426,7 +434,12 @@ def serving_evaluate(
     from lmnet_tpu.models import structural_reparam
 
     if nat_backend is None:
-        nat_backend = "flat" if jax.default_backend() == "tpu" else "xla"
+        # under a mesh the XLA formulation partitions cleanly (a Pallas
+        # custom call would force a gather); single-device keeps the kernel
+        nat_backend = (
+            "xla" if mesh is not None
+            else "flat" if jax.default_backend() == "tpu" else "xla"
+        )
     deploy_vars = structural_reparam(
         {"params": state.params, "batch_stats": state.batch_stats}
     )
@@ -452,6 +465,10 @@ def serving_evaluate(
     hd_vals = []
     for images, masks in loader:
         x, y = augment.eval_pipeline(images, masks, out_size=img_size)
+        if mesh is not None:
+            from lmnet_tpu.parallel.mesh import shard_batch
+
+            x, y = shard_batch(mesh, x, y, spatial=spatial)
         xb = x.astype(jnp.bfloat16)
         if step is None:
             if "auto" in (rc_backend, nat_backend):

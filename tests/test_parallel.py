@@ -102,3 +102,25 @@ def test_cli_n_spatial_matches_unsharded(tmp_path, monkeypatch):
     a = np.asarray(rows1[0], np.float64)
     b = np.asarray(rows2[0], np.float64)
     np.testing.assert_allclose(a, b, atol=2e-4)  # 4-decimal CSV resolution
+
+
+def test_sharded_serving_matches_single_device():
+    """serving_evaluate over a data mesh == single-device serving_evaluate
+    (scale-out serving is semantics-preserving)."""
+    from lmnet_tpu.serve.engine import serving_evaluate
+
+    model = LMNet(**TINY)
+    state = create_train_state(
+        model, jax.random.key(0), (8, TINY_HW, TINY_HW, 3), steps_per_epoch=1
+    )
+    rng = np.random.RandomState(1)
+    imgs = rng.rand(8, TINY_HW, TINY_HW, 3).astype(np.float32)
+    masks = (rng.rand(8, TINY_HW, TINY_HW) > 0.5).astype(np.uint8)
+    loader = [(imgs, masks)]
+    kw = dict(num_classes=2, img_size=TINY_HW, num_heads=TINY["num_heads"])
+    loss_single, m_single = serving_evaluate(state, loader, **kw)
+    mesh = make_mesh(n_data=8, n_spatial=1)
+    loss_dp, m_dp = serving_evaluate(state, loader, mesh=mesh, **kw)
+    np.testing.assert_allclose(loss_dp, loss_single, rtol=1e-3)
+    for k in m_single:
+        np.testing.assert_allclose(m_dp[k], m_single[k], rtol=1e-4, err_msg=k)
