@@ -102,6 +102,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--train", action="store_true")
     ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--size", type=int, default=256)
     ap.add_argument("--top", type=int, default=30)
     args = ap.parse_args()
 
@@ -118,7 +119,7 @@ def main():
         )(jax.random.key(0))
         deploy_vars = structural_reparam(variables)
         model = LMNet(num_classes=2, deploy=True, dtype=jnp.bfloat16)
-        x = jnp.ones((B, 256, 256, 3), jnp.bfloat16)
+        x = jnp.ones((B, args.size, args.size, 3), jnp.bfloat16)
         f = jax.jit(lambda x: model.apply(deploy_vars, x, train=False))
         jax.block_until_ready(f(x))  # compile
         with jax.profiler.trace(logdir):
@@ -134,8 +135,8 @@ def main():
             model, jax.random.key(0), (1, 64, 64, 3),
             epochs=200, steps_per_epoch=100,
         )
-        x = jnp.ones((B, 256, 256, 3), jnp.float32)
-        y = jnp.zeros((B, 256, 256), jnp.int32)
+        x = jnp.ones((B, args.size, args.size, 3), jnp.float32)
+        y = jnp.zeros((B, args.size, args.size), jnp.int32)
         cm = ConfusionAccumulator.init(2)
         s2, loss, cm2 = train_step(state, x, y, jax.random.key(1), cm)
         jax.block_until_ready(loss)
