@@ -33,8 +33,8 @@ import jax.numpy as jnp
 A100_EST_IMG_S = 1500.0
 
 BATCH = 128  # measured optimum: B=64 leaves ~40% throughput on the table
-TRAIN_BATCH = 128  # measured optimum: B=32 -> 88, B=96 -> 153, B=128 -> 187
-                   # img/s; B=160 and B=192 fail to compile (HBM)
+TRAIN_BATCH = 128  # measured optimum (rc_remat=True): B=96 -> 153, B=128 -> 197,
+                   # B=160 -> 101 (non-pow2 tilings); B=192/256 OOM at compile
 ITERS = 10
 REPS = 3
 

@@ -226,16 +226,24 @@ def structural_reparam(variables: dict) -> dict:
     Output: variables for ``LMNet(deploy=True)`` — branch convs+BNs replaced
     by a single fused 5x5 depthwise ``fuse_conv`` (kernel+bias); all other
     params and the remaining BN stats are unchanged.
+
+    Runs as ONE jitted program: the fusion math is ~20 small ops per
+    ReparamConv and eager dispatch pays a full host<->device round trip
+    per op on remote-TPU backends (~0.4 s/op measured through the tunnel).
+    The pytree traversal itself is trace-time (key names only).
     """
     import flax
 
-    variables = flax.core.unfreeze(variables)
-    params = variables["params"]
-    stats = variables.get("batch_stats", {})
-    new_params = _fuse_params(params, stats)
-    new_stats = _prune_stats(stats, params)
-    out = dict(variables)
-    out["params"] = new_params
-    if "batch_stats" in out:
-        out["batch_stats"] = new_stats
-    return out
+    def transform(variables):
+        variables = flax.core.unfreeze(variables)
+        params = variables["params"]
+        stats = variables.get("batch_stats", {})
+        new_params = _fuse_params(params, stats)
+        new_stats = _prune_stats(stats, params)
+        out = dict(variables)
+        out["params"] = new_params
+        if "batch_stats" in out:
+            out["batch_stats"] = new_stats
+        return out
+
+    return jax.jit(transform)(variables)

@@ -85,7 +85,13 @@ def create_train_state(
     tx: optax.GradientTransformation | None = None,
     **tx_kwargs,
 ) -> TrainState:
-    variables = model.init(rng, jnp.zeros(input_shape, jnp.float32), train=False)
+    # One jitted init program instead of op-by-op eager dispatch: on a
+    # remote-TPU backend each eager op pays a full host<->device round trip
+    # (measured 0.4 s/op through the tunnel), turning the ~2000-op init
+    # into minutes; under jit it is a single program.
+    variables = jax.jit(
+        lambda k: model.init(k, jnp.zeros(input_shape, jnp.float32), train=False)
+    )(rng)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     tx = tx or make_optimizer(**tx_kwargs)
@@ -93,7 +99,7 @@ def create_train_state(
         step=jnp.zeros((), jnp.int32),
         params=params,
         batch_stats=batch_stats,
-        opt_state=tx.init(params),
+        opt_state=jax.jit(tx.init)(params),
         apply_fn=model.apply,
         tx=tx,
     )
