@@ -38,7 +38,11 @@ def top_ops(logdir: str, top: int):
             # ONLY the op-level lines: the "XLA Modules" / "Steps" lines
             # carry whole-program envelope events (e.g. one 685 ms
             # fori_loop body) that would swamp every category as "other"
-            if "XLA Op" not in line.name:
+            # exact match: 'Async XLA Ops' also contains "XLA Op" but its
+            # events overlap compute (async weight prefetch) AND its event
+            # offsets are relative to a different line base — mixing the
+            # two lines fabricated phantom ~10 ms "idle gaps"
+            if line.name != "XLA Ops":
                 continue
             for ev in line.events:
                 name = ev_meta.get(ev.metadata_id, "?")
@@ -46,15 +50,22 @@ def top_ops(logdir: str, top: int):
                 # overlap real compute)
                 if name.startswith("jit_") or name.startswith("jit("):
                     continue
-                if "copy-start" in name or "copy-done" in name:
+                # classify on the op's OWN name (before " = "), NOT the full
+                # HLO text: operand names appear after " = ", so substring
+                # matching there misfiles every op that consumes a
+                # copy-done (async-prefetched weight) as an async copy —
+                # which silently dropped ~75% of real compute from the
+                # round-2/3 bucket analyses.
+                op = name.split(" = ")[0]
+                if "copy-start" in op or "copy-done" in op:
                     cat = "async-weight-copy (overlapped)"
-                elif "custom-call" in name or name.startswith("%attn"):
+                elif "custom-call" in op or op.startswith("%attn"):
                     cat = "pallas custom-call"
-                elif "%copy" in name or "transpose" in name:
+                elif "%copy" in op or "transpose" in op:
                     cat = "layout copy/transpose"
-                elif "convolution" in name or "%conv" in name:
+                elif "convolution" in op or "%conv" in op:
                     cat = "convolution"
-                elif "fusion" in name:
+                elif "fusion" in op:
                     cat = "fusion"
                 else:
                     cat = "other"
