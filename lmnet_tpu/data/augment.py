@@ -281,32 +281,112 @@ def grid_dropout(key, img, ratio=0.5, grid=8):
     return jnp.where(mask[..., None], 0.0, img)
 
 
-def clahe(key, img, clip_limit=4.0, grid=8, bins=64):
-    """Tile-based contrast-limited histogram equalization on the luminance.
+# cv2 LAB conventions (cvtColor COLOR_RGB2LAB on uint8): sRGB de-gamma,
+# linear RGB -> XYZ (D65), CIE L*a*b*, then L*255/100, a+128, b+128.
+_LAB_RGB2XYZ = jnp.array(
+    [
+        [0.412453, 0.357580, 0.180423],
+        [0.212671, 0.715160, 0.072169],
+        [0.019334, 0.119193, 0.950227],
+    ],
+    jnp.float32,
+)
+_LAB_XYZ2RGB = jnp.array(
+    [
+        [3.240479, -1.537150, -0.498535],
+        [-0.969256, 1.875992, 0.041556],
+        [0.055648, -0.204043, 1.057311],
+    ],
+    jnp.float32,
+)
+_LAB_WHITE = jnp.array([0.950456, 1.0, 1.088754], jnp.float32)
 
-    A faithful-but-vectorized CLAHE: per-tile clipped histograms -> CDF LUTs,
-    bilinear interpolation between tile LUTs per pixel (as cv2 does), applied
-    on V of HSV (cv2 applies on L of LAB; documented approximation).
+
+def _rgb_to_lab(img):
+    """RGB (float 0..255) -> cv2 8-bit LAB channels (each float 0..255)."""
+    c = img / 255.0
+    c = jnp.where(c <= 0.04045, c / 12.92, ((c + 0.055) / 1.055) ** 2.4)
+    xyz = c @ _LAB_RGB2XYZ.T / _LAB_WHITE
+    f = jnp.where(
+        xyz > 0.008856, jnp.cbrt(jnp.maximum(xyz, 0.0)), 7.787 * xyz + 16.0 / 116.0
+    )
+    y = xyz[..., 1]
+    lum = jnp.where(y > 0.008856, 116.0 * f[..., 1] - 16.0, 903.3 * y)
+    a = 500.0 * (f[..., 0] - f[..., 1]) + 128.0
+    b = 200.0 * (f[..., 1] - f[..., 2]) + 128.0
+    return lum * (255.0 / 100.0), a, b
+
+
+def _lab_to_rgb(lum, a, b):
+    """Inverse of :func:`_rgb_to_lab` (cv2 COLOR_LAB2RGB on uint8 LAB)."""
+    lum = lum * (100.0 / 255.0)
+    fy = (lum + 16.0) / 116.0
+    fx = fy + (a - 128.0) / 500.0
+    fz = fy - (b - 128.0) / 200.0
+
+    def f_inv(t):
+        return jnp.where(t**3 > 0.008856, t**3, (t - 16.0 / 116.0) / 7.787)
+
+    y = jnp.where(lum > 903.3 * 0.008856, fy**3, lum / 903.3)
+    xyz = jnp.stack([f_inv(fx), y, f_inv(fz)], -1) * _LAB_WHITE
+    c = jnp.maximum(xyz @ _LAB_XYZ2RGB.T, 0.0)
+    c = jnp.where(c <= 0.0031308, 12.92 * c, 1.055 * c ** (1.0 / 2.4) - 0.055)
+    return jnp.clip(c * 255.0, 0.0, 255.0)
+
+
+def clahe(key, img, clip_limit=4.0, grid=8, bins=256):
+    """Contrast-limited adaptive histogram equalization, cv2-exact.
+
+    Matches albumentations' ``CLAHE(clip_limit=4.0, tile_grid_size=(8, 8))``
+    (reference OneOf branch, ``dataset/data_loading.py:220``): RGB -> cv2 LAB,
+    per-tile clipped 256-bin histograms of L (reflect-101 padding to a tile
+    multiple), excess redistributed as cv2 does (uniform integer batch plus a
+    stepped +1 residual walk from bin 0), uint8-rounded CDF LUTs, bilinear
+    interpolation between the 4 neighboring tile LUTs (tile coordinate
+    ``x / tile_w - 0.5``), then LAB -> RGB with a/b untouched.
+
+    Oracle: tests/test_augment.py::test_clahe_matches_cv2 — the L channel
+    matches ``cv2.createCLAHE`` to the final-round half-ulp (max err 0.5 gray
+    levels) and the RGB output matches the cv2-composed pipeline closely.
     """
-    h, w = img.shape[0], img.shape[1]
-    gray = _rgb_to_gray(img)  # 0..255
-    # pad to a multiple of the tile grid (edge mode), crop at the end
+    lum, a, b = _rgb_to_lab(img)
+    lum_out = _clahe_lum(lum, clip_limit=clip_limit, grid=grid, bins=bins)
+    return _lab_to_rgb(lum_out, a, b)
+
+
+def _clahe_lum(lum, clip_limit=4.0, grid=8, bins=256):
+    """The tile-LUT equalization itself, on a single luminance plane.
+
+    Bit-matches ``cv2.createCLAHE(clip_limit, (grid, grid)).apply`` up to the
+    final uint8 round (max err 0.5) when fed cv2's own integer L plane —
+    pinned in tests/test_augment.py::test_clahe_matches_cv2.
+    """
+    h, w = lum.shape[0], lum.shape[1]
     th, tw = -(-h // grid), -(-w // grid)
     ph, pw = th * grid - h, tw * grid - w
-    gray_p = jnp.pad(gray, ((0, ph), (0, pw)), mode="edge")
-    q = jnp.clip((gray_p / 256.0 * bins).astype(jnp.int32), 0, bins - 1)
+    lum_p = jnp.pad(lum, ((0, ph), (0, pw)), mode="reflect")
+    q = jnp.clip(jnp.round(lum_p), 0, bins - 1).astype(jnp.int32)
     tiles = q.reshape(grid, th, grid, tw).transpose(0, 2, 1, 3).reshape(grid * grid, -1)
     hist = jax.vmap(lambda t: jnp.sum(jax.nn.one_hot(t, bins), axis=0))(tiles)
     npix = th * tw
-    clip = clip_limit * npix / bins
-    excess = jnp.sum(jnp.maximum(hist - clip, 0), axis=1, keepdims=True)
-    hist = jnp.minimum(hist, clip) + excess / bins
-    cdf = jnp.cumsum(hist, axis=1) / npix  # (tiles, bins) in 0..1
-    luts = cdf * 255.0  # target gray per bin
+    clip = max(int(clip_limit * npix / bins), 1)
+    excess = jnp.sum(jnp.maximum(hist - clip, 0), axis=1).astype(jnp.int32)
+    hist = jnp.minimum(hist, clip)
+    # cv2's redistribution: +excess//bins everywhere, then +1 on bins
+    # 0, step, 2*step, ... (step = max(bins//residual, 1)), residual times.
+    batch = excess // bins
+    resid = excess - batch * bins
+    step = jnp.maximum(bins // jnp.maximum(resid, 1), 1)
+    idx = jnp.arange(bins)
+    inc = ((idx[None, :] % step[:, None]) == 0) & (
+        (idx[None, :] // step[:, None]) < resid[:, None]
+    )
+    hist = hist + batch[:, None].astype(hist.dtype) + inc.astype(hist.dtype)
+    luts = jnp.round(jnp.cumsum(hist, axis=1) * ((bins - 1.0) / npix))
 
     # bilinear interpolation between the 4 neighboring tile LUTs
-    rr = (jnp.arange(h, dtype=jnp.float32) + 0.5) / th - 0.5
-    cc = (jnp.arange(w, dtype=jnp.float32) + 0.5) / tw - 0.5
+    rr = jnp.arange(h, dtype=jnp.float32) / th - 0.5
+    cc = jnp.arange(w, dtype=jnp.float32) / tw - 0.5
     r0 = jnp.clip(jnp.floor(rr), 0, grid - 1).astype(jnp.int32)
     c0 = jnp.clip(jnp.floor(cc), 0, grid - 1).astype(jnp.int32)
     r1 = jnp.clip(r0 + 1, 0, grid - 1)
@@ -320,14 +400,12 @@ def clahe(key, img, clip_limit=4.0, grid=8, bins=64):
         tile_idx = ri[:, None] * grid + ci[None, :]
         return luts[tile_idx, q_crop]
 
-    out = (
+    return (
         lut_at(r0, c0) * (1 - fr) * (1 - fc)
         + lut_at(r0, c1) * (1 - fr) * fc
         + lut_at(r1, c0) * fr * (1 - fc)
         + lut_at(r1, c1) * fr * fc
     )
-    scale = jnp.where(gray > 0, out / jnp.maximum(gray, 1e-3), 1.0)
-    return jnp.clip(img * scale[..., None], 0, 255)
 
 
 def _displacement_warp(img, dr, dc, order):

@@ -92,3 +92,50 @@ def test_channel_shuffle_is_permutation(batch):
     perms = [out[..., list(p)] for p in
              [(0, 1, 2), (0, 2, 1), (1, 0, 2), (1, 2, 0), (2, 0, 1), (2, 1, 0)]]
     assert any(np.array_equal(src, p) for p in perms)
+
+
+def test_lab_roundtrip_matches_cv2():
+    cv2 = pytest.importorskip("cv2")
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, (32, 32, 3)).astype(np.uint8)
+    want = cv2.cvtColor(img, cv2.COLOR_RGB2LAB).astype(np.float64)
+    lum, a, b = (np.asarray(c) for c in augment._rgb_to_lab(jnp.asarray(img, jnp.float32)))
+    assert np.abs(lum - want[..., 0]).max() < 2.0  # cv2: uint8 round + fixed-point 8-bit tables
+    assert np.abs(a - want[..., 1]).max() < 2.0
+    assert np.abs(b - want[..., 2]).max() < 2.0
+    back = np.asarray(
+        augment._lab_to_rgb(jnp.asarray(want[..., 0], jnp.float32),
+                            jnp.asarray(want[..., 1], jnp.float32),
+                            jnp.asarray(want[..., 2], jnp.float32))
+    )
+    want_rgb = cv2.cvtColor(want.astype(np.uint8), cv2.COLOR_LAB2RGB).astype(np.float64)
+    assert np.abs(back - want_rgb).max() < 1.5  # cv2 rounds L/a/b to uint8 first
+
+
+@pytest.mark.parametrize("shape", [(64, 64), (96, 96), (70, 90)])
+def test_clahe_matches_cv2(shape):
+    """cv2-exact CLAHE: L channel within the final-rounding half-ulp of
+    cv2.createCLAHE(4.0, (8, 8)); RGB output close to the cv2-composed
+    LAB pipeline (albumentations CLAHE semantics)."""
+    cv2 = pytest.importorskip("cv2")
+    rng = np.random.RandomState(11)
+    h, w = shape
+    base = np.cumsum(rng.normal(0, 4, (h, w, 3)), axis=0).cumsum(axis=1)
+    smooth = np.clip(base / 40 + 128, 0, 255).astype(np.uint8)
+    noisy = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+    for img in (smooth, noisy):
+        lab = cv2.cvtColor(img, cv2.COLOR_RGB2LAB)
+        l_eq = cv2.createCLAHE(clipLimit=4.0, tileGridSize=(8, 8)).apply(lab[..., 0])
+        # 1) The tile-LUT machinery itself is cv2-bit-exact (up to the final
+        #    uint8 round) when fed cv2's own integer L plane:
+        got_l = np.asarray(augment._clahe_lum(jnp.asarray(lab[..., 0], jnp.float32)))
+        assert np.abs(got_l - l_eq.astype(np.float64)).max() <= 0.5 + 1e-3
+        # 2) End-to-end RGB stays close to the cv2-composed pipeline.  The
+        #    residual comes only from cv2's fixed-point 8-bit color tables
+        #    (its L differs from the float-exact L by up to ~1.3, which steep
+        #    LUT slopes amplify), not from the CLAHE math.
+        lab_eq = lab.copy()
+        lab_eq[..., 0] = l_eq
+        want = cv2.cvtColor(lab_eq, cv2.COLOR_LAB2RGB).astype(np.float64)
+        got = np.asarray(augment.clahe(jax.random.key(0), jnp.asarray(img, jnp.float32)))
+        assert np.abs(got - want).mean() < 2.5
