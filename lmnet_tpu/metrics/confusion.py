@@ -35,34 +35,69 @@ def confusion_matrix(
     return jnp.einsum("nc,nk->ck", t1, p1, optimize=True)
 
 
-def derived_metrics(cm: jnp.ndarray) -> dict[str, jnp.ndarray]:
+def derived_metrics(cm: jnp.ndarray, task: str = "binary") -> dict[str, jnp.ndarray]:
     """The reference's live metric collection, from one confusion matrix.
 
     Keys/order follow train.py:205-210: accuracy, precision, recall,
     specificity, dice, iou, mean_iou.
+
+    ``task`` mirrors the reference's ``--categories`` flag, which
+    parameterizes the torchmetrics collection (``train.py:165-174``:
+    ``Accuracy(task=args.categories, average='macro')`` etc.):
+
+    * ``binary``      — accuracy/precision/recall/specificity/iou are the
+      positive-class (=1) stats, exactly torchmetrics ``task='binary'``.
+    * ``multiclass``  — macro averages over classes (torchmetrics
+      ``average='macro'`` / sklearn ``zero_division=0``): accuracy becomes
+      macro per-class recall (torchmetrics multiclass-accuracy semantics),
+      specificity macro tn_c/(tn_c+fp_c), iou the macro Jaccard.
+    * ``multilabel``  — like multiclass but per-label accuracy is
+      (tp_c+tn_c)/total (one-vs-rest), macro-averaged; precision/recall/
+      specificity/iou coincide with the multiclass macro forms because
+      predictions here are argmaxed single-label maps.
+
+    ``dice`` (macro over classes) and ``mean_iou`` (multiclass macro
+    Jaccard) are task-independent, as in the reference collection.
     """
+    if task not in ("binary", "multiclass", "multilabel"):
+        raise ValueError(f"unknown task {task!r}")
     cm = cm.astype(jnp.float64) if cm.dtype == jnp.int64 else cm.astype(jnp.float32)
-    eps = 0.0
     total = jnp.sum(cm)
     tp_c = jnp.diag(cm)
     fp_c = jnp.sum(cm, axis=0) - tp_c  # predicted c but target != c
     fn_c = jnp.sum(cm, axis=1) - tp_c
+    tn_c = total - tp_c - fp_c - fn_c
 
     def safe(n, d):
         return jnp.where(d > 0, n / jnp.maximum(d, 1e-12), 0.0)
 
-    # binary stats (positive class = 1)
-    tp, fp, fn = tp_c[1], fp_c[1], fn_c[1]
-    tn = total - tp - fp - fn
     dice_c = safe(2 * tp_c, 2 * tp_c + fp_c + fn_c)
     iou_c = safe(tp_c, tp_c + fp_c + fn_c)
+    if task == "binary":
+        # positive class = 1 (torchmetrics task='binary')
+        tp, fp, fn = tp_c[1], fp_c[1], fn_c[1]
+        tn = total - tp - fp - fn
+        return {
+            "accuracy": safe(tp + tn, total),
+            "precision": safe(tp, tp + fp),
+            "recall": safe(tp, tp + fn),
+            "specificity": safe(tn, tn + fp),
+            "dice": jnp.mean(dice_c),
+            "iou": safe(tp, tp + fp + fn),
+            "mean_iou": jnp.mean(iou_c),
+        }
+    recall_c = safe(tp_c, tp_c + fn_c)
+    if task == "multiclass":
+        accuracy = jnp.mean(recall_c)  # torchmetrics macro multiclass accuracy
+    else:  # multilabel: per-label one-vs-rest accuracy
+        accuracy = jnp.mean(safe(tp_c + tn_c, total))
     return {
-        "accuracy": safe(tp + tn, total),
-        "precision": safe(tp, tp + fp),
-        "recall": safe(tp, tp + fn),
-        "specificity": safe(tn, tn + fp),
+        "accuracy": accuracy,
+        "precision": jnp.mean(safe(tp_c, tp_c + fp_c)),
+        "recall": jnp.mean(recall_c),
+        "specificity": jnp.mean(safe(tn_c, tn_c + fp_c)),
         "dice": jnp.mean(dice_c),
-        "iou": safe(tp, tp + fp + fn),
+        "iou": jnp.mean(iou_c),
         "mean_iou": jnp.mean(iou_c),
     }
 

@@ -407,6 +407,7 @@ def serving_evaluate(
     natt_int8: bool = False,
     mesh=None,
     spatial: bool = False,
+    task: str = "binary",
 ):
     """Evaluate a *training* state through the fused serving path: reparam
     the variables once, then run ``deploy_forward`` over the loader (the
@@ -484,7 +485,7 @@ def serving_evaluate(
                 v = hausdorff_distance_95(pr == 1, t == 1)
                 if not np.isnan(v):
                     hd_vals.append(v)
-    metrics = {k: float(v) for k, v in derived_metrics(cm).items()}
+    metrics = {k: float(v) for k, v in derived_metrics(cm, task).items()}
     if compute_hd95:
         metrics["hd95"] = float(np.mean(hd_vals)) if hd_vals else float("nan")
     return float(total_loss), metrics

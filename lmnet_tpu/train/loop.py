@@ -30,8 +30,12 @@ def train_one_epoch(
     log_every: int = 0,
     mesh=None,
     spatial: bool = False,
+    task: str = "binary",
 ):
     """Run one training epoch. Returns (state, total_loss, metrics dict).
+
+    ``task``: the reference's ``--categories`` — selects binary vs
+    macro-multiclass reductions in the live metrics (metrics/confusion.py).
 
     ``mesh``: optional jax.sharding.Mesh — batches are sharded over its
     'data' (+'spatial') axes before the step; grads/BN means become global
@@ -63,7 +67,7 @@ def train_one_epoch(
         n_steps += 1
         if log_every and (bi + 1) % log_every == 0:
             print(f"  step {bi+1}: loss={float(loss):.4f}")
-    metrics = {k: float(v) for k, v in derived_metrics(cm).items()}
+    metrics = {k: float(v) for k, v in derived_metrics(cm, task).items()}
     metrics["images_per_sec"] = (
         n_steps * images.shape[0] / max(time.time() - t0, 1e-9) if n_steps else 0.0
     )
@@ -79,6 +83,7 @@ def evaluate(
     mesh=None,
     spatial: bool = False,
     cross_host: bool = False,
+    task: str = "binary",
 ):
     """Run evaluation. Returns (total_ce_loss, metrics dict).
 
@@ -117,7 +122,7 @@ def evaluate(
     cm, total_loss, hd_sum, hd_cnt = _allreduce_eval(
         cm, float(total_loss), hd_sum, hd_cnt, cross_host, num_classes
     )
-    metrics = {k: float(v) for k, v in derived_metrics(cm).items()}
+    metrics = {k: float(v) for k, v in derived_metrics(cm, task).items()}
     if compute_hd95:
         metrics["hd95"] = hd_sum / hd_cnt if hd_cnt else float("nan")
     return float(total_loss), metrics

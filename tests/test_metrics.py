@@ -41,6 +41,124 @@ def test_derived_metrics_binary(rng):
     np.testing.assert_allclose(float(m["dice"]), (dice0 + dice1) / 2, rtol=1e-6)
 
 
+def test_derived_metrics_multiclass_macro_vs_sklearn(rng):
+    """task='multiclass' (reference --categories, train.py:165-174):
+    macro reductions must match sklearn's average='macro' at C=3."""
+    from sklearn.metrics import (
+        balanced_accuracy_score,
+        jaccard_score,
+        precision_score,
+        recall_score,
+    )
+
+    pred = rng.randint(0, 3, (4, 8, 8))
+    target = rng.randint(0, 3, (4, 8, 8))
+    cm = confusion_matrix(pred, target, 3)
+    m = derived_metrics(cm, task="multiclass")
+    y_t, y_p = target.ravel(), pred.ravel()
+    np.testing.assert_allclose(
+        float(m["precision"]),
+        precision_score(y_t, y_p, average="macro", zero_division=0),
+        rtol=1e-6,
+    )
+    np.testing.assert_allclose(
+        float(m["recall"]),
+        recall_score(y_t, y_p, average="macro", zero_division=0),
+        rtol=1e-6,
+    )
+    # torchmetrics multiclass accuracy (average='macro') == macro recall
+    # == sklearn balanced accuracy
+    np.testing.assert_allclose(
+        float(m["accuracy"]), balanced_accuracy_score(y_t, y_p), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        float(m["iou"]),
+        jaccard_score(y_t, y_p, average="macro", zero_division=0),
+        rtol=1e-6,
+    )
+    np.testing.assert_allclose(float(m["iou"]), float(m["mean_iou"]), rtol=1e-7)
+    # macro specificity: mean_c tn_c/(tn_c+fp_c), from the sklearn cm
+    ref = sk_confusion(y_t, y_p, labels=[0, 1, 2]).astype(float)
+    tp = np.diag(ref)
+    fp = ref.sum(0) - tp
+    fn = ref.sum(1) - tp
+    tn = ref.sum() - tp - fp - fn
+    np.testing.assert_allclose(
+        float(m["specificity"]), np.mean(tn / (tn + fp)), rtol=1e-6
+    )
+    # macro dice == macro f1
+    from sklearn.metrics import f1_score
+
+    np.testing.assert_allclose(
+        float(m["dice"]),
+        f1_score(y_t, y_p, average="macro", zero_division=0),
+        rtol=1e-6,
+    )
+
+
+def test_derived_metrics_multilabel_accuracy(rng):
+    """task='multilabel': per-label one-vs-rest accuracy, macro-averaged;
+    the other reductions coincide with the multiclass macro forms."""
+    pred = rng.randint(0, 3, (2, 8, 8))
+    target = rng.randint(0, 3, (2, 8, 8))
+    cm = confusion_matrix(pred, target, 3)
+    m = derived_metrics(cm, task="multilabel")
+    mc = derived_metrics(cm, task="multiclass")
+    ref = np.asarray(cm)
+    tp = np.diag(ref)
+    fp = ref.sum(0) - tp
+    fn = ref.sum(1) - tp
+    tn = ref.sum() - tp - fp - fn
+    np.testing.assert_allclose(
+        float(m["accuracy"]), np.mean((tp + tn) / ref.sum()), rtol=1e-6
+    )
+    for k in ("precision", "recall", "specificity", "dice", "iou", "mean_iou"):
+        np.testing.assert_allclose(float(m[k]), float(mc[k]), rtol=1e-7)
+
+
+def test_evaluate_voc_style_multiclass_smoke(rng):
+    """A VOC-style run (mask_mode='index', num_classes=21) through the full
+    ``evaluate`` loop with task='multiclass' (VERDICT r3 ask #3): metrics
+    must be the macro reductions, not silently binary class-1."""
+    import jax
+    import jax.numpy as jnp
+
+    from lmnet_tpu.train.engine import TrainState
+    from lmnet_tpu.train.loop import evaluate
+
+    num_classes = 21
+
+    def fake_apply(variables, x, train=False):
+        # deterministic fake logits: favor (pixel_sum mod C) per pixel
+        idx = (jnp.sum(x, axis=-1) * 37.0).astype(jnp.int32) % num_classes
+        return jax.nn.one_hot(idx, num_classes) * 5.0
+
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32), params={}, batch_stats={},
+        opt_state={}, apply_fn=fake_apply, tx=None,
+    )
+    images = rng.randint(0, 255, (4, 16, 16, 3)).astype(np.uint8)
+    masks = rng.randint(0, num_classes, (4, 16, 16)).astype(np.int32)
+    loader = [(images, masks)]
+    _, m = evaluate(
+        state, loader, num_classes=num_classes, img_size=16, task="multiclass"
+    )
+    # reconstruct what the fake model predicts after eval_pipeline to pin
+    # the macro semantics end-to-end
+    from lmnet_tpu.data import augment
+
+    x, y = augment.eval_pipeline(images, masks, out_size=16)
+    preds = np.asarray(jnp.argmax(fake_apply(None, x), axis=-1))
+    ref = derived_metrics(
+        confusion_matrix(jnp.asarray(preds), jnp.asarray(y), num_classes),
+        task="multiclass",
+    )
+    for k in ("accuracy", "precision", "recall", "iou", "mean_iou"):
+        np.testing.assert_allclose(m[k], float(ref[k]), rtol=1e-5)
+    # multiclass iou is the macro Jaccard, not the binary class-1 IoU
+    np.testing.assert_allclose(m["iou"], m["mean_iou"], rtol=1e-7)
+
+
 def test_evaluator_parity_with_derived(rng):
     pred = rng.randint(0, 2, (4, 8, 8))
     target = rng.randint(0, 2, (4, 8, 8))
