@@ -334,7 +334,7 @@ def _lab_to_rgb(lum, a, b):
     return jnp.clip(c * 255.0, 0.0, 255.0)
 
 
-def clahe(key, img, clip_limit=4.0, grid=8, bins=256):
+def clahe(key, img, clip_limit=(1.0, 4.0), grid=8, bins=256):
     """Contrast-limited adaptive histogram equalization, cv2-exact.
 
     Matches albumentations' ``CLAHE(clip_limit=4.0, tile_grid_size=(8, 8))``
@@ -345,10 +345,18 @@ def clahe(key, img, clip_limit=4.0, grid=8, bins=256):
     interpolation between the 4 neighboring tile LUTs (tile coordinate
     ``x / tile_w - 0.5``), then LAB -> RGB with a/b untouched.
 
+    ``clip_limit``: a (lo, hi) tuple samples the limit uniformly per call —
+    albumentations' ``clip_limit=4.0`` means U(1, 4) (ADVICE r3); a scalar
+    pins it (used by the cv2 oracle test).
+
     Oracle: tests/test_augment.py::test_clahe_matches_cv2 — the L channel
     matches ``cv2.createCLAHE`` to the final-round half-ulp (max err 0.5 gray
     levels) and the RGB output matches the cv2-composed pipeline closely.
     """
+    if isinstance(clip_limit, (tuple, list)):
+        clip_limit = jax.random.uniform(
+            key, (), minval=clip_limit[0], maxval=clip_limit[1]
+        )
     lum, a, b = _rgb_to_lab(img)
     lum_out = _clahe_lum(lum, clip_limit=clip_limit, grid=grid, bins=bins)
     return _lab_to_rgb(lum_out, a, b)
@@ -367,9 +375,18 @@ def _clahe_lum(lum, clip_limit=4.0, grid=8, bins=256):
     lum_p = jnp.pad(lum, ((0, ph), (0, pw)), mode="reflect")
     q = jnp.clip(jnp.round(lum_p), 0, bins - 1).astype(jnp.int32)
     tiles = q.reshape(grid, th, grid, tw).transpose(0, 2, 1, 3).reshape(grid * grid, -1)
-    hist = jax.vmap(lambda t: jnp.sum(jax.nn.one_hot(t, bins), axis=0))(tiles)
+    # scatter-add histogram: the one-hot formulation materialized a
+    # (grid², npix, 256) float32 intermediate (~67 MB at 256²) on every
+    # batch element under the OneOf switch (ADVICE r3)
+    hist = jax.vmap(
+        lambda t: jnp.zeros(bins, jnp.float32).at[t].add(1.0)
+    )(tiles)
     npix = th * tw
-    clip = max(int(clip_limit * npix / bins), 1)
+    # cv2: clip = max(int(clipLimit * tileSize / histSize), 1); jnp ops so a
+    # per-call *sampled* clip_limit stays traceable
+    clip = jnp.maximum(
+        (jnp.asarray(clip_limit, jnp.float32) * npix / bins).astype(jnp.int32), 1
+    ).astype(jnp.float32)
     excess = jnp.sum(jnp.maximum(hist - clip, 0), axis=1).astype(jnp.int32)
     hist = jnp.minimum(hist, clip)
     # cv2's redistribution: +excess//bins everywhere, then +1 on bins

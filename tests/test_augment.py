@@ -137,5 +137,30 @@ def test_clahe_matches_cv2(shape):
         lab_eq = lab.copy()
         lab_eq[..., 0] = l_eq
         want = cv2.cvtColor(lab_eq, cv2.COLOR_LAB2RGB).astype(np.float64)
-        got = np.asarray(augment.clahe(jax.random.key(0), jnp.asarray(img, jnp.float32)))
+        got = np.asarray(
+            augment.clahe(
+                jax.random.key(0), jnp.asarray(img, jnp.float32), clip_limit=4.0
+            )
+        )
         assert np.abs(got - want).mean() < 2.5
+
+
+def test_clahe_samples_clip_limit():
+    """Default clahe() samples clip_limit ~ U(1, 4) per call (albumentations
+    CLAHE(clip_limit=4.0) semantics, ADVICE r3) — different keys must give
+    different equalizations, and the pinned-scalar path stays deterministic."""
+    rng = np.random.RandomState(2)
+    # big + smooth so the integer clip limit actually varies with the
+    # sampled clip_limit (at 64² tiles it floors to 1 for the whole range)
+    base = np.cumsum(rng.normal(0, 4, (128, 128, 3)), axis=0).cumsum(axis=1)
+    img = jnp.asarray(np.clip(base / 40 + 128, 0, 255), jnp.float32)
+    # keys 1/3 sample clip_limit 2.32 / 1.22 -> integer clips 2 vs 1 at this
+    # tile size (cv2 floors clip_limit*npix/bins to an int)
+    a = np.asarray(augment.clahe(jax.random.key(1), img))
+    b = np.asarray(augment.clahe(jax.random.key(3), img))
+    assert not np.allclose(a, b)  # the key now matters
+    c1 = np.asarray(augment.clahe(jax.random.key(1), img))
+    np.testing.assert_array_equal(a, c1)  # still deterministic per key
+    p1 = np.asarray(augment.clahe(jax.random.key(1), img, clip_limit=2.5))
+    p2 = np.asarray(augment.clahe(jax.random.key(9), img, clip_limit=2.5))
+    np.testing.assert_array_equal(p1, p2)  # scalar pin ignores the key
