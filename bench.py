@@ -139,8 +139,12 @@ def main():
             r = max(r, batch / ((time.perf_counter() - t0 - rtt) / ITERS))
         return round(r, 1)
 
-    img_s_384 = serve_rate(384, 32)
-    img_s_512 = serve_rate(512, 16)
+    # round-4 batch sweep (perf/serve_batch_sweep.py, BASELINE.md): the
+    # round-1 protocol batches (32/16) were the whole 384/512 "efficiency
+    # gap" — B=128 is optimal at BOTH sizes (384²: 32->191, 128->563;
+    # 512²: 16->80, 128->298; non-pow2 batches 160/192 degrade ~40%)
+    img_s_384 = serve_rate(384, 128)
+    img_s_512 = serve_rate(512, 128)
 
     print(
         json.dumps(
