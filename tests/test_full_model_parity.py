@@ -311,6 +311,129 @@ def test_full_graph_matches_reference_256():
     _compare_at(256, rtol=1e-3, atol=2e-4)
 
 
+@pytest.mark.slow
+def test_training_dynamics_match_reference_recipe():
+    """Multi-step TRAINING-DYNAMICS parity (VERDICT r3 ask #5): transplanted
+    init, identical synthetic batches, 6 optimizer steps of the reference
+    recipe — AdamW(1e-3, wd 1e-4) + CosineAnnealingLR(T_max, eta_min 1e-6)
+    stepped per epoch + CE(weight [1,4], ls 0.001) + Dice(weight [1,4]) +
+    BN momentum 0.1 — through OUR real jitted ``train_step`` vs the
+    reference's torch source. Asserts the per-step loss trajectories agree;
+    this validates optimizer/BN/schedule integration that single-forward
+    parity cannot (reference train.py:156-160 + train_eval_utils.py:120-166).
+
+    Dropout (Mlp p=0.1) is disabled on BOTH sides — framework RNGs can't be
+    aligned; everything else is the live training path.
+    """
+    from lmnet_tpu.models import LMNet
+    from lmnet_tpu.train.engine import TrainState, make_optimizer, train_step
+
+    LM_Net = _load_reference_lmnet()
+    size, B, steps_per_epoch, n_steps = 48, 2, 2, 6
+    epochs = 3
+
+    model = LMNet(num_classes=2, gelu_exact=True, nat_backend="xla", rc_remat=False)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 48, 48, 3)), train=False)
+    import flax
+
+    variables = flax.core.unfreeze(variables)
+
+    rng = np.random.RandomState(7)
+    batches = [
+        (
+            rng.randn(B, size, size, 3).astype(np.float32) * 0.5,
+            rng.randint(0, 2, (B, size, size)),
+        )
+        for _ in range(3)
+    ]
+
+    # transplant BEFORE our training loop: train_step donates the state, so
+    # the init arrays inside ``variables`` are deleted after step 1
+    torch_sd = _transplant(variables)
+
+    # ---- our side: the REAL train_step, dropout forced off ---------------
+    apply_det = lambda v, x, **kw: model.apply(v, x, deterministic=True, **kw)
+    tx = make_optimizer(
+        base_lr=1e-3, weight_decay=1e-4, epochs=epochs,
+        steps_per_epoch=steps_per_epoch,
+    )
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=variables["params"],
+        batch_stats=variables["batch_stats"],
+        opt_state=tx.init(variables["params"]),
+        apply_fn=apply_det,
+        tx=tx,
+    )
+    from lmnet_tpu.metrics.confusion import ConfusionAccumulator
+
+    cm = ConfusionAccumulator.init(2)
+    ours_losses = []
+    key = jax.random.key(0)
+    for i in range(n_steps):
+        x, y = batches[i % len(batches)]
+        state, loss, cm = train_step(
+            state, jnp.asarray(x), jnp.asarray(y), key, cm
+        )
+        ours_losses.append(float(loss))
+
+    # ---- reference side: torch source, same init/batches/recipe ----------
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    from utils.loss import DiceLoss
+
+    tmodel = LM_Net(3, 2)
+    missing, unexpected = tmodel.load_state_dict(torch_sd, strict=False)
+    assert not unexpected, unexpected
+    for m in tmodel.modules():  # align with deterministic=True on our side
+        if isinstance(m, tnn.Dropout):
+            m.p = 0.0
+    tmodel.train()
+    opt = torch.optim.AdamW(tmodel.parameters(), lr=1e-3, weight_decay=1e-4)
+    sched = torch.optim.lr_scheduler.CosineAnnealingLR(
+        opt, T_max=epochs, eta_min=1e-6
+    )
+    ce_fn = tnn.CrossEntropyLoss(
+        weight=torch.tensor([1.0, 4.0]), label_smoothing=0.001
+    )
+    dice_fn = DiceLoss(2)
+    ref_losses = []
+    for i in range(n_steps):
+        x, y = batches[i % len(batches)]
+        xt = torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))
+        yt = torch.from_numpy(y).long()
+        out = tmodel(xt)
+        loss = ce_fn(out, yt) + dice_fn(
+            out, yt.unsqueeze(1).float(), weight=[1.0, 4.0], softmax=True
+        )
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        ref_losses.append(float(loss))
+        if (i + 1) % steps_per_epoch == 0:  # reference steps the LR per epoch
+            sched.step()
+
+    # trajectories agree step-by-step (divergence compounds through AdamW,
+    # BN running stats and the schedule — agreement here means the whole
+    # optimization stack matches, not just one forward)
+    np.testing.assert_allclose(ours_losses, ref_losses, rtol=5e-3)
+
+    # and the post-training states still agree: eval-mode logits on a held
+    # batch (exercises the updated params AND the updated BN running stats)
+    xh = rng.randn(B, size, size, 3).astype(np.float32) * 0.5
+    ours_logits = np.asarray(
+        model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            jnp.asarray(xh), train=False,
+        )
+    )
+    tmodel.eval()
+    with torch.no_grad():
+        ref_logits = tmodel(torch.from_numpy(np.transpose(xh, (0, 3, 1, 2))))
+    ref_logits = np.transpose(ref_logits.numpy(), (0, 2, 3, 1))
+    np.testing.assert_allclose(ours_logits, ref_logits, rtol=5e-3, atol=5e-3)
+
+
 def test_training_loss_matches_reference_recipe():
     """One CE(weight [1,4], ls 0.001) + weighted-Dice loss value computed on
     identical logits/labels matches the reference criterion
