@@ -306,7 +306,14 @@ class ReparamConv(nn.Module):
     # fwd+bwd 25.6 vs 48.9 ms at 256^2 ec=24 B=128; see the negative-results
     # ledger in BASELINE.md), 'fused' (explicit opt-in, ops/pallas/rc_train.py:
     # never materializes a branch output or holds one as an autodiff
-    # residual), or 'xla'.
+    # residual), 'packed' (ONE grouped conv: the 3x3/3x1/1x3 kernels are
+    # zero-padded into 5x5 and stacked on the output-channel axis — 4
+    # branches in a single dispatch and a single pass over the expanded
+    # activation, same math; MEASURED NEGATIVE: 61.3 vs 196.8 img/s e2e
+    # train at 256^2 B=128 (perf/rc_packed_ab.py) — zero taps aren't
+    # skipped so it does 100 MACs/elem vs the branches' 40, and XLA was
+    # already lowering the 4 separate dw convs near the VPU roofline),
+    # or 'xla'.
     rc_train_backend: str = "auto"
 
     def _fused_train_ok(self, x1, train: bool) -> bool:
@@ -374,7 +381,45 @@ class ReparamConv(nn.Module):
                 BNVars(ec, dtype=self.dtype, name=f"{n}_bn")
                 for n in ("large", "square", "ver", "hor")
             ]
-            if self._fused_train_ok(x1, train):
+            packed_ok = (
+                self.rc_train_backend == "packed"
+                and train
+                and not self.is_initializing()
+                and lk == 5
+                and sk == 3
+            )
+            if packed_ok:
+                # one grouped conv over x1 instead of four (VERDICT r3 ask
+                # #6): zero-pad every branch kernel into 5x5 (zero taps ==
+                # smaller kernel with smaller same-padding, so the math is
+                # identical) and stack per input channel, output layout
+                # [c*4 + b] (feature_group_count groups are contiguous)
+                p = self.variables["params"]
+                kl = p["large_conv"]["conv"]["kernel"]  # (5,5,1,ec)
+                ks_ = jnp.pad(
+                    p["square_conv"]["conv"]["kernel"], ((1, 1), (1, 1), (0, 0), (0, 0))
+                )
+                kv = jnp.pad(
+                    p["ver_conv"]["conv"]["kernel"], ((1, 1), (2, 2), (0, 0), (0, 0))
+                )
+                kh = jnp.pad(
+                    p["hor_conv"]["conv"]["kernel"], ((2, 2), (1, 1), (0, 0), (0, 0))
+                )
+                packed = jnp.stack([kl, ks_, kv, kh], axis=-1)  # (5,5,1,ec,4)
+                packed = packed.reshape(5, 5, 1, ec * 4)
+                dt = self.dtype or x1.dtype
+                y = jax.lax.conv_general_dilated(
+                    x1.astype(dt), packed.astype(dt), s, [(2, 2), (2, 2)],
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    feature_group_count=ec,
+                )
+                B, H, W, _ = y.shape
+                y5 = y.reshape(B, H, W, ec, 4)
+                out = bns[0](y5[..., 0], train)
+                for i in range(1, 4):
+                    out = out + bns[i](y5[..., i], train)
+                x1 = se(gelu(out, self.gelu_exact))
+            elif self._fused_train_ok(x1, train):
                 from lmnet_tpu.ops.pallas.rc_train import rc_branch_act
 
                 B, H, W, _ = x1.shape

@@ -234,3 +234,53 @@ def test_reparamconv_module_fused_matches_xla(rng):
         ),
         g_f, g_x,
     )
+
+
+def test_reparamconv_module_packed_matches_xla(rng):
+    """blocks.ReparamConv(rc_train_backend='packed') — the single grouped
+    conv with zero-padded 5x5 kernels (VERDICT r3 ask #6) — == backend
+    'xla': same output, same grads, same updated batch_stats."""
+    from lmnet_tpu.models.blocks import ReparamConv
+
+    B, H, W, Cin = 2, 8, 9, 3
+    ec = 6
+    x = jnp.asarray(rng.randn(B, H, W, Cin), jnp.float32)
+
+    def build(backend):
+        m = ReparamConv(ec, Cin, rc_train_backend=backend)
+        v = m.init(jax.random.key(0), x, train=False)
+        return m, v
+
+    m_x, v_x = build("xla")
+    m_p, v_p = build("packed")
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        v_x, v_p,
+    )
+
+    def run(m, v):
+        def loss_fn(params):
+            out, mut = m.apply(
+                {"params": params, "batch_stats": v["batch_stats"]},
+                x, train=True, mutable=["batch_stats"],
+            )
+            return jnp.sum(out**2), mut
+
+        (loss, mut), grads = jax.value_and_grad(loss_fn, has_aux=True)(v["params"])
+        return loss, mut, grads
+
+    loss_x, mut_x, g_x = run(m_x, v_x)
+    loss_p, mut_p, g_p = run(m_p, v_p)
+    np.testing.assert_allclose(float(loss_p), float(loss_x), rtol=1e-5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5
+        ),
+        mut_p, mut_x,
+    )
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4
+        ),
+        g_p, g_x,
+    )
