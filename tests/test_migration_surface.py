@@ -82,3 +82,23 @@ def test_metrics_functional_namespace():
     # the smp-style functional suite the guide points --test users at
     for fn in ("iou_score", "f1_score", "accuracy", "recall"):
         assert hasattr(functional, fn)
+
+
+def test_packaging_entry_point():
+    """pyproject.toml's console script must resolve to a real callable and
+    the native loader source must ship as package data."""
+    import os
+    import tomllib
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "pyproject.toml"), "rb") as f:
+        proj = tomllib.load(f)["project"]
+    target = proj["scripts"]["lmnet-train"]
+    module, func = target.split(":")
+    mod = importlib.import_module(module)
+    assert callable(getattr(mod, func))
+    # loader.cpp must be inside the package tree (shipped via package-data)
+    import lmnet_tpu.native
+
+    pkg_dir = os.path.dirname(lmnet_tpu.native.__file__)
+    assert os.path.exists(os.path.join(pkg_dir, "loader.cpp"))
