@@ -226,7 +226,10 @@ def deploy_forward(
     variables: dict,
     x: jnp.ndarray,
     num_heads: int = 12,
-    nat_backend: str = "flat",  # fused flat-layout NAT (no transposes)
+    # 'flat' (fused flat-layout kernel, no transposes) | 'xla' | 'pallas',
+    # or a 4-tuple giving the backend per NAT stage (natt1..natt4 =
+    # deepest 32^2 C=192//2 .. shallowest 256^2 C=12 at 256^2 inputs)
+    nat_backend: str | tuple = "flat",
     rc_backend: str = "xla",  # 'flat' (rc_flat fused dw+gelu+SE-sums) | 'pallas' (two-phase) | 'xla'
     interpret: bool = False,  # Pallas interpreter mode (CPU testing)
     natt_int8: bool = False,  # int8 NATT interiors (+~2% e2e, ~1-2% act error)
@@ -296,10 +299,15 @@ def deploy_forward(
     s3 = _m3skip(p["skip3"], s["skip3"], x1, x2, x3)
     s4 = _m2skip(p["skip4"], s["skip4"], x1, x2, "top")
 
-    x46 = _natt(p["natt1"], s1, num_heads, nat_backend, natt_int8)
-    x37 = _natt(p["natt2"], s2, num_heads, nat_backend, natt_int8)
-    x28 = _natt(p["natt3"], s3, num_heads, nat_backend, natt_int8)
-    x19 = _natt(p["natt4"], s4, num_heads, nat_backend, natt_int8)
+    nb = (
+        nat_backend
+        if isinstance(nat_backend, tuple)
+        else (nat_backend,) * 4
+    )
+    x46 = _natt(p["natt1"], s1, num_heads, nb[0], natt_int8)
+    x37 = _natt(p["natt2"], s2, num_heads, nb[1], natt_int8)
+    x28 = _natt(p["natt3"], s3, num_heads, nb[2], natt_int8)
+    x19 = _natt(p["natt4"], s4, num_heads, nb[3], natt_int8)
 
     def up(name, h_):
         return _conv(p[name], upsample2x_align_corners(h_))

@@ -157,9 +157,10 @@ def train_step(
     """One optimization step. Returns (new_state, loss, new_confusion)."""
     # the reference hard-codes CE/Dice weight [1, 4] (train.py:157) — valid
     # only for 2 classes; multiclass runs fall back to uniform weights
-    if len(ce_weight) != num_classes:
+    # (None = unweighted, the losses' native convention)
+    if ce_weight is not None and len(ce_weight) != num_classes:
         ce_weight = (1.0,) * num_classes
-    if len(dice_weight) != num_classes:
+    if dice_weight is not None and len(dice_weight) != num_classes:
         dice_weight = (1.0,) * num_classes
     step_rng = jax.random.fold_in(rng, state.step)
     grad_fn = jax.value_and_grad(_forward_loss, has_aux=True)
@@ -197,7 +198,7 @@ def eval_step(
     """One eval step (CE loss only, like reference evaluate).
     Returns (loss, updated confusion, argmax preds). Preds stay on device
     unless the caller fetches them (e.g. for HD95) — no extra forward."""
-    if len(ce_weight) != num_classes:  # see train_step
+    if ce_weight is not None and len(ce_weight) != num_classes:  # see train_step
         ce_weight = (1.0,) * num_classes
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     logits = state.apply_fn(variables, images, train=False)
