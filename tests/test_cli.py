@@ -69,11 +69,14 @@ def test_manifest_naming():
     assert _manifest(a2, "train", 1).endswith("train_CVC_1.csv")
 
 
+import pytest
+
+
+@pytest.mark.slow  # builds the model per mode: ~7 min of CPU compiles
 def test_modes_fail_loudly_without_checkpoint(tmp_path):
     """--test / --visualization / --export must refuse to run with no
     trained checkpoint instead of silently using random-init weights
     (VERDICT r3 weak #1; reference crashes in torch.load, train.py:183)."""
-    import pytest
 
     from lmnet_tpu.cli import train as cli
 

@@ -12,6 +12,9 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # full-size CPU compiles; excluded from the fast tier
+
+
 from conftest import TINY, TINY_HW
 from lmnet_tpu.models import LMNet, structural_reparam
 from lmnet_tpu.serve.daemon import DynamicBatcher, _bucket, make_server

@@ -15,6 +15,10 @@ Checks, in order of subtlety:
      thing, not merely a consistent thing.
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow  # full-size CPU compiles; excluded from the fast tier
+
 import json
 import os
 import subprocess

@@ -5,6 +5,9 @@
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # full-size CPU compiles; excluded from the fast tier
+
+
 import jax
 import jax.numpy as jnp
 

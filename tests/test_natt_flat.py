@@ -7,6 +7,9 @@ tests pin its numerics so the record stays trustworthy."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # full-size CPU compiles; excluded from the fast tier
+
+
 import jax
 import jax.numpy as jnp
 

@@ -9,6 +9,9 @@ Reference semantics: core/modules.py:586-600 (4 dw branches + BN + sum).
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # full-size CPU compiles; excluded from the fast tier
+
+
 import jax
 import jax.numpy as jnp
 

@@ -1,6 +1,10 @@
 """Train-vs-deploy equivalence of the structural re-parameterization
 (reference core/modules.py:602-657 fusion math; SURVEY §3.4)."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # full-size CPU compiles; excluded from the fast tier
+
 import jax
 import jax.numpy as jnp
 import numpy as np

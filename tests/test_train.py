@@ -30,6 +30,7 @@ def state():
     )
 
 
+@pytest.mark.slow
 def test_train_smoke_loss_decreases(state, rng):
     x, y = _synthetic_batch(rng)
     cm = ConfusionAccumulator.init(2)
@@ -45,6 +46,7 @@ def test_train_smoke_loss_decreases(state, rng):
     assert 0.0 <= float(m["dice"]) <= 1.0
 
 
+@pytest.mark.slow
 def test_eval_step(state, rng):
     x, y = _synthetic_batch(rng)
     cm = ConfusionAccumulator.init(2)
@@ -54,7 +56,7 @@ def test_eval_step(state, rng):
     assert preds.shape == y.shape
 
 
-def test_step_counter_and_lr_schedule(state, rng):
+def test_step_counter_and_lr_schedule():  # no state fixture: pure schedule math
     from lmnet_tpu.train.engine import cosine_epoch_schedule
 
     sched = cosine_epoch_schedule(1e-3, epochs=10, steps_per_epoch=4)
@@ -89,6 +91,7 @@ def test_multiclass_training(rng):
     assert 0.0 <= float(m["mean_iou"]) <= 1.0
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip(tmp_path, state, rng):
     from lmnet_tpu.train import checkpoint as ckpt
 
@@ -120,6 +123,7 @@ def test_checkpoint_roundtrip(tmp_path, state, rng):
     np.testing.assert_array_equal(float(l_a), float(l_b))
 
 
+@pytest.mark.slow
 def test_sharded_eval_aggregation_matches_whole(state):
     """Multi-host eval protocol: evaluating per-host manifest SHARDS and
     summing the accumulator payloads (train.loop._allreduce_eval's math)
