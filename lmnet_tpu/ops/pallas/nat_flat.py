@@ -139,16 +139,20 @@ def _nat_flat_kernel(
         multiply). The weighted sum accumulates UNNORMALIZED and scales by
         1/den once at the end (9 fewer (rows, WC) multiplies than
         normalizing each weight)."""
-        ls = []
-        for oh in range(3):
-            for ow in range(3):
-                prod = q * row_sl(kws[ow], oh)
-                l = _seg_sum_broadcast(prod, hd, C)
-                ls.append(l + bias_ref[ci, oh * 3 + ow][None, :])
+        def logit(oh, ow):
+            prod = q * row_sl(kws[ow], oh)
+            l = _seg_sum_broadcast(prod, hd, C)
+            return l + bias_ref[ci, oh * 3 + ow][None, :]
+
         # NB a center-window softmax pivot (skip the 9-way max; saves 8
         # maxes + 1 sub + 1 exp2 per pass) measured e2e-NEUTRAL (1349 vs
         # 1348-1355 band) — the kernel is roll/DMA-bound, not
         # transcendental-bound. Exact max kept for overflow robustness.
+        # NB2 register-pressure restructurings (perf/nat_fwd_ab.py: flash-
+        # style logit recompute, 8/16-row q chunking) are ALSO neutral-to-
+        # worse at every stage — holding the 9 logit + 9 exp stripes is
+        # free; Mosaic's VMEM scheduling absorbs the ~7 MB live set.
+        ls = [logit(i // 3, i % 3) for i in range(9)]
         m = ls[0]
         for l in ls[1:]:
             m = jnp.maximum(m, l)
