@@ -19,10 +19,16 @@ formulas):
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# 2x-upsample formulation: 'einsum' (default) or 'flat' (the Pallas
+# flat-layout kernel, ops/pallas/upsample_flat.py).  Read at import time —
+# perf A/B harnesses launch a fresh process per config (cf. xla_flag_sweep).
+_UPSAMPLE2X_BACKEND = os.environ.get("LMNET_UPSAMPLE_BACKEND", "einsum")
 
 
 @functools.lru_cache(maxsize=None)
@@ -101,6 +107,10 @@ def upsample2x_align_corners(x: jnp.ndarray) -> jnp.ndarray:
     assignment already avoids the copies the micro-bench pays in
     isolation. The per-axis einsum stays as the simplest equal-speed form.
     """
+    if _UPSAMPLE2X_BACKEND == "flat":
+        from lmnet_tpu.ops.pallas.upsample_flat import upsample2x_flat
+
+        return upsample2x_flat(x)
     _, h, w, _ = x.shape
     return bilinear_resize(x, (2 * h, 2 * w), align_corners=True)
 

@@ -97,3 +97,50 @@ def test_upsample2x_phase_matches_torch(rng, hw, dtype):
 
     g = jax.grad(lambda v: jnp.sum(upsample2x_phase(v) ** 2))(jnp.asarray(x))
     assert g.shape == x.shape and np.isfinite(np.asarray(g)).all()
+
+
+@pytest.mark.parametrize(
+    "shape",
+    [(2, 16, 16, 8), (1, 8, 32, 4), (1, 16, 24, 16), (1, 8, 48, 8)],
+)
+def test_upsample2x_flat_matches_einsum(rng, shape):
+    """The flat-layout Pallas 2x upsample (unwired, measured-slower e2e —
+    see BASELINE.md ledger) == the einsum path, fwd AND custom-vjp bwd
+    (interpret mode; includes non-pow2 W for the dup-ladder masks)."""
+    import jax
+    import jax.numpy as jnp
+
+    from lmnet_tpu.ops.pallas.upsample_flat import upsample2x_flat
+    from lmnet_tpu.ops.resize import upsample2x_align_corners
+
+    B, H, W, C = shape
+    x = jnp.asarray(rng.randn(B, H, W, C), jnp.float32)
+    g = jnp.asarray(rng.randn(B, 2 * H, 2 * W, C), jnp.float32)
+
+    y1 = upsample2x_flat(x, True)
+    y2 = upsample2x_align_corners(x)
+    np.testing.assert_allclose(
+        np.asarray(y1), np.asarray(y2), rtol=1e-5, atol=1e-5
+    )
+    g1 = jax.vjp(lambda t: upsample2x_flat(t, True), x)[1](g)[0]
+    g2 = jax.vjp(upsample2x_align_corners, x)[1](g)[0]
+    np.testing.assert_allclose(
+        np.asarray(g1), np.asarray(g2), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_upsample2x_flat_fallback_shapes(rng):
+    """Unsupported shapes (H%8, lane-misaligned W*C) fall back to the
+    einsum path rather than recursing through the env dispatcher."""
+    import jax.numpy as jnp
+
+    from lmnet_tpu.ops.pallas.upsample_flat import upsample2x_flat
+    from lmnet_tpu.ops.resize import upsample2x_align_corners
+
+    for shape in [(1, 5, 7, 3), (1, 8, 9, 5)]:
+        x = jnp.asarray(rng.randn(*shape), jnp.float32)
+        np.testing.assert_allclose(
+            np.asarray(upsample2x_flat(x, True)),
+            np.asarray(upsample2x_align_corners(x)),
+            rtol=1e-6,
+        )
