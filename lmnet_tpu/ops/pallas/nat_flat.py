@@ -80,10 +80,49 @@ def _seg_sum_broadcast(x, hd: int, C: int):
     return v
 
 
+def _stripe_policy(H: int, WC: int) -> tuple[int, bool]:
+    """(stripe rows, twopass) for the forward kernel.
+
+    Scoped-vmem caps under the HOLD form (all measured): 32-row stripes
+    fit at WC=3072 (256^2) but overflow the 16 MB limit at WC=4608
+    (384^2: 16.67M); 16-row stripes fit at 4608 but overflow at WC=6144
+    (512^2: 16.34M — the f32 bias table and 8-row edge blocks scale with
+    WC, so the boundary is not a pure rows*WC product). NB a pure-product
+    cap that shrank 256^2 to 16-row stripes cost ~17% e2e serving
+    throughput.  Above WC=3072 the TWOPASS form (recompute logits, hold
+    only m/den/out — per-stage neutral at 256^2, perf/nat_fwd_ab.py)
+    halves peak VMEM and buys the 32-row stripes back
+    (perf/nat_stripe_ab.py: 384^2 -9% kernel time, 512^2 -27%).
+
+    Those caps assume Mosaic's default 16 MB scoped-vmem limit; v5e has
+    128 MB of VMEM per core, and pl.CompilerParams(vmem_limit_bytes=...)
+    raises the limit for THIS kernel only (the global
+    xla_tpu_scoped_vmem_limit_kib flag would also re-budget every XLA
+    fusion).  With a 64 MB kernel budget the HOLD form keeps 32-row
+    stripes at every LM-Net stage.
+
+    Returns (rows, twopass, vmem_limit_bytes|None).
+    Override for A/B: LMNET_NAT_STRIPE="rows,twopass,vmem_mb"
+    (e.g. "16,0,16").
+    """
+    import os
+
+    ov = os.environ.get("LMNET_NAT_STRIPE")
+    base = 32 if H >= 32 else 8
+    if ov:
+        r, tp, mb = ov.split(",")
+        lim = None if int(mb) == 16 else int(mb) * 2**20
+        return min(base, int(r)), tp == "1", lim
+    if WC <= 3072:
+        return base, False, None
+    return base, False, 64 * 2**20
+
+
 def _nat_flat_kernel(
     q_ref, kc_ref, kpe_ref, kne_ref, vc_ref, vpe_ref, vne_ref,
     bias_ref, o_ref, kscr, vscr,
     *, rows: int, C: int, W: int, heads: int, scale: float,
+    twopass: bool = False,
 ):
     ib = pl.program_id(1)
     nb = pl.num_programs(1)
@@ -150,8 +189,24 @@ def _nat_flat_kernel(
         # transcendental-bound. Exact max kept for overflow robustness.
         # NB2 register-pressure restructurings (perf/nat_fwd_ab.py: flash-
         # style logit recompute, 8/16-row q chunking) are ALSO neutral-to-
-        # worse at every stage — holding the 9 logit + 9 exp stripes is
-        # free; Mosaic's VMEM scheduling absorbs the ~7 MB live set.
+        # worse at every stage at 256^2 — holding the 9 logit + 9 exp
+        # stripes is free; Mosaic's VMEM scheduling absorbs the ~7 MB
+        # live set.  The recompute form survives as ``twopass``: per-stage
+        # it is NEUTRAL, but it cuts peak scoped VMEM ~2x, which buys
+        # 32-row stripes at WC>3072 where the hold form caps at 16/8 —
+        # there the halo-DMA amortization wins e2e (see nat_flat()).
+        if twopass:
+            m = logit(0, 0)
+            for i in range(1, 9):
+                m = jnp.maximum(m, logit(i // 3, i % 3))
+            den = jnp.zeros_like(q)
+            out = jnp.zeros_like(q)
+            for oh in range(3):
+                for ow in range(3):
+                    e = jnp.exp2(logit(oh, ow) - m)
+                    den = den + e
+                    out = out + e * row_sl(vws[ow], oh)
+            return out * (1.0 / den)
         ls = [logit(i // 3, i % 3) for i in range(9)]
         m = ls[0]
         for l in ls[1:]:
@@ -203,14 +258,7 @@ def nat_flat(q, k, v, rpb, heads: int, C: int, W: int,
     if scale is None:
         scale = float(C // heads) ** -0.5
     hd = C // heads
-    rows = 32 if H >= 32 else 8
-    # scoped-vmem caps (all measured): 32-row stripes fit at WC=3072
-    # (256^2) but overflow the 16 MB limit at WC=4608 (384^2: 16.67M);
-    # 16-row stripes fit at 4608 but overflow at WC=6144 (512^2: 16.34M —
-    # the f32 bias table and 8-row edge blocks scale with WC, so the
-    # boundary is not a pure rows*WC product). NB a pure-product cap that
-    # shrank 256^2 to 16-row stripes cost ~17% e2e serving throughput.
-    rows = min(rows, 32 if WC <= 3072 else 16 if WC <= 4608 else 8)
+    rows, twopass, vmem_limit = _stripe_policy(H, WC)
     while H % rows:
         rows //= 2
     # the segment shift-add/select trees require power-of-2 head_dim;
@@ -253,7 +301,8 @@ def nat_flat(q, k, v, rpb, heads: int, C: int, W: int,
     )
 
     kernel = functools.partial(
-        _nat_flat_kernel, rows=rows, C=C, W=W, heads=heads, scale=scale
+        _nat_flat_kernel, rows=rows, C=C, W=W, heads=heads, scale=scale,
+        twopass=twopass,
     )
     return pl.pallas_call(
         kernel,
@@ -274,6 +323,11 @@ def nat_flat(q, k, v, rpb, heads: int, C: int, W: int,
             pltpu.VMEM((rows + 2, WC), q.dtype),
             pltpu.VMEM((rows + 2, WC), q.dtype),
         ],
+        compiler_params=(
+            pltpu.CompilerParams(vmem_limit_bytes=vmem_limit)
+            if vmem_limit
+            else None
+        ),
     )(q, k4, k4, k4, v4, v4, v4, bias)
 
 
@@ -483,24 +537,41 @@ def _unflatten_dbias(dbias, heads: int, C: int, W: int) -> jnp.ndarray:
     return drpb
 
 
+def _bwd_stripe_policy(H: int, WC: int) -> tuple[int, int | None]:
+    """(stripe rows, vmem_limit_bytes|None) for the backward kernel.
+
+    Under Mosaic's default 16 MB scoped-vmem limit the backward (softmax
+    recompute + halo accumulators, ~2x the forward's live set) capped at
+    8-row stripes (16-row overflowed at WC=3072 fp32: measured 16.43M)
+    and had to route WC=6144 (512^2) through the XLA vjp entirely.  A
+    per-kernel vmem_limit_bytes (cf. _stripe_policy) lifts both: measured
+    on v5e (perf/nat_stripe_ab.py --bwd), rows=16@64M beats rows=8 at
+    every stage and the fused 512^2 bwd beats the XLA vjp.
+
+    Override for A/B: LMNET_NAT_BWD_STRIPE="rows,vmem_mb" ("0,..." =
+    force the XLA-vjp fallback).
+    """
+    import os
+
+    ov = os.environ.get("LMNET_NAT_BWD_STRIPE")
+    if ov:
+        r, mb = ov.split(",")
+        return int(r), None if int(mb) == 16 else int(mb) * 2**20
+    return 16, 64 * 2**20
+
+
 def nat_flat_bwd(q, k, v, rpb, g, heads: int, C: int, W: int,
                  scale: float, interpret: bool = False):
     """Fused Pallas NAT backward. Returns (dq, dk, dv, drpb)."""
     B, H, WC = q.shape
-    # rows=8: the backward holds ~2x the forward's live VMEM (softmax
-    # recompute + halo accumulators); 16-row stripes overflow the 16 MB
-    # scoped-vmem limit at WC=3072 fp32 (measured 16.43M).
-    rows = 8
-    while H % rows:
+    rows, vmem_limit = _bwd_stripe_policy(H, WC)
+    while rows and H % rows:
         rows //= 2
     hd = C // heads
     # rows < 8 (H % 8 != 0): (1, rows, WC) blocks violate Mosaic's
     # second-minor-divisible-by-8 rule — use the XLA vjp like other
-    # unsupported shapes. WC > 4608: rows is already at the Mosaic
-    # minimum of 8 and the fp32 working set still overflows the 16 MB
-    # scoped-vmem limit (the bwd holds ~2x the fwd's live VMEM), so
-    # 512^2 training routes through the XLA vjp too.
-    if rows < 8 or H < 8 or W < 3 or (hd & (hd - 1)) or WC > 4608:
+    # unsupported shapes (and rows=0 forces the fallback for A/B).
+    if rows < 8 or H < 8 or W < 3 or (hd & (hd - 1)) or WC > 6144:
         _, vjp = jax.vjp(
             lambda q, k, v, rpb: _nat_flat_ref(q, k, v, rpb, heads, C, W, scale),
             q, k, v, rpb,
@@ -549,6 +620,11 @@ def nat_flat_bwd(q, k, v, rpb, g, heads: int, C: int, W: int,
             pltpu.VMEM((rows + 2, WC), q.dtype),
             pltpu.VMEM((rows + 2, WC), q.dtype),
         ],
+        compiler_params=(
+            pltpu.CompilerParams(vmem_limit_bytes=vmem_limit)
+            if vmem_limit
+            else None
+        ),
     )(q, g, k, k, k, v, v, v, bias)
     # ln2 cancels the log2e folded into the kernel's qs (dk = dl * qs)
     dk = (_combine_halo(dkh, H, rows) * 0.6931471805599453).astype(k.dtype)
