@@ -71,6 +71,13 @@ class LMNet(nn.Module):
     #                product, checkpoint_name 'rc_expand' in blocks.py) and
     #                recompute only the depthwise branches + SE
     rc_remat: bool | str = True
+    # Remat the four NeighborhoodTransformer blocks as well. Each NATT block
+    # at high resolution holds ~10 (B,H,W,C) autodiff residuals (LN outputs,
+    # qkv, attention out, MLP hidden); recomputing the block from its skip
+    # input keeps ONE residual instead. Off by default (B=128 fits without
+    # it, measured neutral — perf/remat_wide_ab.py); the knob exists to
+    # trade recompute for HBM at larger batches/resolutions.
+    natt_remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False, deterministic: bool | None = None):
@@ -133,8 +140,14 @@ class LMNet(nn.Module):
         s3 = M3Skip((f[0], f[1], f[2]), gelu_exact=ge, dtype=dt, name="skip3")(x1, x2, x3, train)
         s4 = M2Skip((f[0], f[1]), "top", gelu_exact=ge, dtype=dt, name="skip4")(x1, x2, train)
 
+        natt_cls = (
+            nn.remat(NeighborhoodTransformer, static_argnums=(2,))
+            if self.natt_remat and not self.deploy
+            else NeighborhoodTransformer
+        )
+
         def natt(name, dim):
-            return NeighborhoodTransformer(
+            return natt_cls(
                 dim, self.num_heads, gelu_exact=ge, dtype=dt,
                 nat_backend=self.nat_backend, name=name,
             )

@@ -153,6 +153,36 @@ def test_reparamconv_remat_grad_parity(rng):
     )
 
 
+def test_lmnet_natt_remat_grad_parity(rng):
+    """LMNet(natt_remat=True) — nn.remat around each NeighborhoodTransformer
+    block — matches the unremat'ed model's grads and param tree. The knob
+    trades NATT-block recompute for HBM at large train batches
+    (perf/remat_wide_ab.py)."""
+    from lmnet_tpu.models.lm_net import LMNet
+
+    x = jnp.asarray(rng.randn(2, 32, 32, 3), jnp.float32)
+
+    def grads(natt_remat):
+        model = LMNet(num_classes=2, natt_remat=natt_remat)
+        params = model.init(
+            jax.random.key(0), jnp.zeros((1, 32, 32, 3)), train=True
+        )
+
+        def loss(p, x):
+            out, _ = model.apply(
+                p, x, train=True, rngs={"dropout": jax.random.key(3)},
+                mutable=["batch_stats"],
+            )
+            return jnp.sum(out.astype(jnp.float32) ** 2)
+
+        return params, jax.jit(jax.grad(loss, argnums=1))(params, x)
+
+    p1, g1 = grads(True)
+    p2, g2 = grads(False)
+    assert jax.tree_util.tree_structure(p1) == jax.tree_util.tree_structure(p2)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-4, atol=1e-4)
+
+
 def test_lmnet_rc_remat_branches_policy(rng):
     """LMNet(rc_remat='branches') — the save_only_these_names('rc_expand')
     policy — matches the unremat'ed model's grads, and its backward actually
