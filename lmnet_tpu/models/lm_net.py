@@ -74,9 +74,11 @@ class LMNet(nn.Module):
     # Remat the four NeighborhoodTransformer blocks as well. Each NATT block
     # at high resolution holds ~10 (B,H,W,C) autodiff residuals (LN outputs,
     # qkv, attention out, MLP hidden); recomputing the block from its skip
-    # input keeps ONE residual instead. Off by default (B=128 fits without
-    # it, measured neutral — perf/remat_wide_ab.py); the knob exists to
-    # trade recompute for HBM at larger batches/resolutions.
+    # input keeps ONE residual instead. Off by default: at 256² B=128 it
+    # costs ~7% (199.1 -> 185.5 img/s, the backward re-runs qkv/NAT/MLP —
+    # perf/remat_wide_ab.py + BASELINE.md round-4 ledger). It is purely a
+    # *fit* lever: it lets otherwise-OOM train graphs (B=256 at 256², or
+    # high-res configs) compile at the price of that recompute tax.
     natt_remat: bool = False
 
     @nn.compact

@@ -81,6 +81,95 @@ def _conv_parts(p, parts):
     return out + p["conv"]["bias"].astype(out.dtype)
 
 
+def _compose_kk(k1, b1, k2):
+    """Compose two stacked 'same'-padded convs into one (k1 then k2):
+    K[d] = sum_{d1+d2=d} k2[d2] @ k1[d1] over the channel contraction,
+    bias1 folded through k2. HWIO kernels. Exact in the interior; the
+    outermost output ring differs from the two-pass form (the two-pass
+    zero-pads the INTERMEDIATE, which the composition cannot see) —
+    callers must bound/accept that 1-px deviation.
+    Returns (K (kh1+kh2-1, ...), b1_through: (O,) bias contribution)."""
+    kh1, kw1, ci, cm = k1.shape
+    kh2, kw2, cm2, co = k2.shape
+    assert cm == cm2, (cm, cm2)
+    K = jnp.zeros((kh1 + kh2 - 1, kw1 + kw2 - 1, ci, co), jnp.float32)
+    k1f = k1.astype(jnp.float32)
+    k2f = k2.astype(jnp.float32)
+    for a in range(kh1):
+        for b in range(kw1):
+            # k1[a,b] : (ci, cm); k2 window shifted by (a, b)
+            K = K.at[a : a + kh2, b : b + kw2].add(
+                jnp.einsum("im,hwmo->hwio", k1f[a, b], k2f)
+            )
+    b_through = jnp.einsum("m,hwmo->o", b1.astype(jnp.float32), k2f)
+    return K, b_through
+
+
+def _conv_k(x, k, bias, stride=1):
+    kh, kw = k.shape[0], k.shape[1]
+    out = jax.lax.conv_general_dilated(
+        x, k.astype(x.dtype), (stride, stride),
+        [(kh // 2, kh // 2), (kw // 2, kw // 2)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return out + bias.astype(x.dtype)
+
+
+def _m2skip_composed(p, s, xl, xs, mode):
+    """M2 skip with convl/convs COMPOSED into the fuse conv (two 3x3 ->
+    one 5x5 per input): the (B,H,W,cm) intermediates a and b are never
+    materialized. Interior-exact; 1-px border ring deviates (see
+    _compose_kk). Prototype for the skips-bucket HBM headroom
+    (VERDICT r4 ask #4b)."""
+    kf = p["fuse_conv"]["conv"]["kernel"]
+    cm = p["convl"]["conv"]["kernel"].shape[-1]
+    ks, bs = _compose_kk(
+        p["convs"]["conv"]["kernel"], p["convs"]["conv"]["bias"], kf[:, :, cm:, :]
+    )
+    zero = jnp.zeros((kf.shape[-1],), jnp.float32)
+    if mode == "bottom":
+        # convl has stride 2: composition across a strided conv is not a
+        # plain conv — keep the two-pass form for the strided input (its
+        # bias rides inside `a`, so it is NOT folded again here)
+        a = _conv(p["convl"], xl, 2)
+        out = _conv_k(a, kf[:, :, :cm, :], zero) + _conv_k(
+            xs, ks, bs + p["fuse_conv"]["conv"]["bias"].astype(jnp.float32)
+        )
+    else:
+        kl, bl = _compose_kk(
+            p["convl"]["conv"]["kernel"], p["convl"]["conv"]["bias"],
+            kf[:, :, :cm, :],
+        )
+        out = _conv_k(
+            xl, kl, bl + bs + p["fuse_conv"]["conv"]["bias"].astype(jnp.float32)
+        ) + _conv_k(upsample2x_align_corners(xs), ks, zero)
+    return gelu(_bn(p["fuse_bn"], s["fuse_bn"], out))
+
+
+def _m3skip_composed(p, s, xl, xm, xs):
+    kf = p["fuse_conv"]["conv"]["kernel"]
+    cm = p["convm"]["conv"]["kernel"].shape[-1]
+    km, bm = _compose_kk(
+        p["convm"]["conv"]["kernel"], p["convm"]["conv"]["bias"],
+        kf[:, :, cm : 2 * cm, :],
+    )
+    ks, bs = _compose_kk(
+        p["convs"]["conv"]["kernel"], p["convs"]["conv"]["bias"],
+        kf[:, :, 2 * cm :, :],
+    )
+    a = _conv(p["convl"], xl, 2)  # strided: not composable
+    bias = bm + bs + p["fuse_conv"]["conv"]["bias"].astype(jnp.float32)
+    out = (
+        _conv_k(a, kf[:, :, :cm, :], jnp.zeros((kf.shape[-1],), jnp.float32))
+        + _conv_k(xm, km, bias)
+        + _conv_k(
+            upsample2x_align_corners(xs), ks,
+            jnp.zeros((kf.shape[-1],), jnp.float32),
+        )
+    )
+    return gelu(_bn(p["fuse_bn"], s["fuse_bn"], out))
+
+
 def _m2skip(p, s, xl, xs, mode):
     if mode == "bottom":
         a = _conv(p["convl"], xl, 2)
@@ -159,7 +248,24 @@ def _dense_i8(x8, w8, s_in, s_col, bias, out_dtype):
     return (acc.astype(jnp.float32) * (s_in * s_col) + bias).astype(out_dtype)
 
 
-def _natt(p, x, num_heads, nat_backend, int8_interior: bool = False):
+def _ln_fold(p_ln, w, b):
+    """Fold the LN affine (gamma, beta) into a downstream dense (w, b):
+    (x_hat*gamma + beta) @ w + b == x_hat @ (gamma[:,None]*w) + (beta@w + b).
+    Pure weight math — exact; pairs with a no-affine normalize."""
+    g = p_ln["scale"].astype(jnp.float32)
+    be = p_ln["bias"].astype(jnp.float32)
+    wf = w.astype(jnp.float32)
+    return g[:, None] * wf, be @ wf + b.astype(jnp.float32)
+
+
+def _ln_noaffine(x):
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + LN_EPS)
+
+
+def _natt(p, x, num_heads, nat_backend, int8_interior: bool = False,
+          ln_fold: bool = False):
     # NOTE a fully fused flat-block kernel exists (ops/pallas/natt_flat.py)
     # but measured 2x SLOWER than this unfused path (55.7 vs 28.1 ms for
     # natt4 at B=128): in-kernel C-mixing needs O(C) cross-lane rolls,
@@ -182,6 +288,20 @@ def _natt(p, x, num_heads, nat_backend, int8_interior: bool = False):
             ln1_8, wq8[:, C : 2 * C], s1, sq[C : 2 * C], bq[C : 2 * C], emb.dtype
         )
         v = _dense_i8(ln1_8, wq8[:, 2 * C :], s1, sq[2 * C :], bq[2 * C :], emb.dtype)
+    elif ln_fold:
+        # LN-affine folded into the qkv weights (deploy-time weight math;
+        # VERDICT r4 ask #4a): normalize without affine, matmul with
+        # gamma-scaled kernels + beta-shifted bias. Exact.
+        ln1 = _ln_noaffine(emb)
+        wqf, bqf = _ln_fold(
+            p["norm1"], p["attn"]["qkv"]["dense"]["kernel"],
+            p["attn"]["qkv"]["dense"]["bias"],
+        )
+        wq = wqf.astype(ln1.dtype)
+        bq = bqf.astype(ln1.dtype)
+        q = ln1 @ wq[:, :C] + bq[:C]
+        k = ln1 @ wq[:, C : 2 * C] + bq[C : 2 * C]
+        v = ln1 @ wq[:, 2 * C :] + bq[2 * C :]
     else:
         ln1 = _ln(p["norm1"], emb)
         # weight-sliced qkv: splitting the fused (.., 3C) output costs real
@@ -213,6 +333,14 @@ def _natt(p, x, num_heads, nat_backend, int8_interior: bool = False):
             _dense_i8(ln2_8, w18, s2, sc1, p["mlp"]["fc1"]["dense"]["bias"], att.dtype)
         )
         return _dense(p["mlp"]["fc2"], h) + att
+    if ln_fold:
+        w1f, b1f = _ln_fold(
+            p["norm2"], p["mlp"]["fc1"]["dense"]["kernel"],
+            p["mlp"]["fc1"]["dense"]["bias"],
+        )
+        ln2 = _ln_noaffine(att)
+        h = gelu(ln2 @ w1f.astype(ln2.dtype) + b1f.astype(ln2.dtype))
+        return _dense(p["mlp"]["fc2"], h) + att
     return _mlp(p["mlp"], _ln(p["norm2"], att)) + att
 
 
@@ -220,6 +348,7 @@ def _natt(p, x, num_heads, nat_backend, int8_interior: bool = False):
     jax.jit,
     static_argnames=(
         "num_heads", "nat_backend", "rc_backend", "interpret", "natt_int8",
+        "ln_fold", "skip_compose",
     ),
 )
 def deploy_forward(
@@ -233,6 +362,10 @@ def deploy_forward(
     rc_backend: str = "xla",  # 'flat' (rc_flat fused dw+gelu+SE-sums) | 'pallas' (two-phase) | 'xla'
     interpret: bool = False,  # Pallas interpreter mode (CPU testing)
     natt_int8: bool = False,  # int8 NATT interiors (+~2% e2e, ~1-2% act error)
+    ln_fold: bool = False,  # fold LN affine into qkv/fc1 weights (exact)
+    # compose convl/convm/convs into the fuse conv in the skip blocks
+    # (interior-exact; 1-px border ring deviates — see _compose_kk)
+    skip_compose: bool = False,
 ):
     """Fused deploy-mode forward. ``variables`` = structural_reparam output."""
     p = variables["params"]
@@ -294,20 +427,23 @@ def deploy_forward(
     )
     x5 = _gft(p["gft"], pooled, num_heads)
 
-    s1 = _m2skip(p["skip1"], s["skip1"], x3, x4, "bottom")
-    s2 = _m3skip(p["skip2"], s["skip2"], x2, x3, x4)
-    s3 = _m3skip(p["skip3"], s["skip3"], x1, x2, x3)
-    s4 = _m2skip(p["skip4"], s["skip4"], x1, x2, "top")
+    m2, m3 = (
+        (_m2skip_composed, _m3skip_composed) if skip_compose else (_m2skip, _m3skip)
+    )
+    s1 = m2(p["skip1"], s["skip1"], x3, x4, "bottom")
+    s2 = m3(p["skip2"], s["skip2"], x2, x3, x4)
+    s3 = m3(p["skip3"], s["skip3"], x1, x2, x3)
+    s4 = m2(p["skip4"], s["skip4"], x1, x2, "top")
 
     nb = (
         nat_backend
         if isinstance(nat_backend, tuple)
         else (nat_backend,) * 4
     )
-    x46 = _natt(p["natt1"], s1, num_heads, nb[0], natt_int8)
-    x37 = _natt(p["natt2"], s2, num_heads, nb[1], natt_int8)
-    x28 = _natt(p["natt3"], s3, num_heads, nb[2], natt_int8)
-    x19 = _natt(p["natt4"], s4, num_heads, nb[3], natt_int8)
+    x46 = _natt(p["natt1"], s1, num_heads, nb[0], natt_int8, ln_fold)
+    x37 = _natt(p["natt2"], s2, num_heads, nb[1], natt_int8, ln_fold)
+    x28 = _natt(p["natt3"], s3, num_heads, nb[2], natt_int8, ln_fold)
+    x19 = _natt(p["natt4"], s4, num_heads, nb[3], natt_int8, ln_fold)
 
     def up(name, h_):
         return _conv(p[name], upsample2x_align_corners(h_))

@@ -71,8 +71,18 @@ def main():
             rate, err = measure(size, batch, natt_remat)
             tag = f"{size}^2 B={batch} natt_remat={natt_remat}"
             if err:
-                print(f"{tag}: FAIL {err}", flush=True)
-                continue  # try the remat fallback
+                # Only an OOM justifies retrying with the remat fit-lever;
+                # any other failure is a bug in the non-remat path and must
+                # surface as such, not be recorded as "needs remat to fit".
+                oom = any(
+                    s in err.lower()
+                    for s in ("resource_exhausted", "resource exhausted", "out of memory", "oom")
+                )
+                kind = "OOM" if oom else "NON-OOM BUG"
+                print(f"{tag}: FAIL ({kind}) {err}", flush=True)
+                if oom:
+                    continue  # try the remat fallback
+                break  # real bug — do not mask it behind the remat path
             print(f"{tag}: {rate:.1f} img/s", flush=True)
             break  # fits without (or with) the lever — done for this config
 

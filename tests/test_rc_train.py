@@ -175,12 +175,22 @@ def test_lmnet_natt_remat_grad_parity(rng):
             )
             return jnp.sum(out.astype(jnp.float32) ** 2)
 
-        return params, jax.jit(jax.grad(loss, argnums=1))(params, x)
+        # Param grads (argnums=0) are what training actually consumes — they
+        # exercise remat's interaction with dropout rngs and BN mutation;
+        # input grads (argnums=1) cover the data path.
+        gp, gx = jax.jit(jax.grad(loss, argnums=(0, 1)))(params, x)
+        return params, gp, gx
 
-    p1, g1 = grads(True)
-    p2, g2 = grads(False)
+    p1, gp1, gx1 = grads(True)
+    p2, gp2, gx2 = grads(False)
     assert jax.tree_util.tree_structure(p1) == jax.tree_util.tree_structure(p2)
-    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx2), rtol=1e-4, atol=1e-4)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4
+        ),
+        gp1, gp2,
+    )
 
 
 def test_lmnet_rc_remat_branches_policy(rng):
