@@ -270,7 +270,9 @@ def main():
     xs_enc = [jnp.ones((B, S // 2 ** i, S // 2 ** i, f[i]), bf16) for i in range(4)]
 
     def add_fb(name, module, xs, flops, vops, bts, train_kw=None):
-        _, t_fb = fwd_bwd_time(module, xs, train_kw or {"train": True}, name)
+        if train_kw is None:
+            train_kw = {"train": True}
+        _, t_fb = fwd_bwd_time(module, xs, train_kw, name)
         items.append(Item(name, "skips/GFT/resizes", t_fb,
                           BWD * flops, BWD * vops, BWD * bts))
 
