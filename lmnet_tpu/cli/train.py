@@ -114,8 +114,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="report 95th-pct Hausdorff distance on eval/test")
     p.add_argument("--natt_int8", action="store_true", default=False,
                    help="(with --test --serve) int8 NATT interiors: +0.6%% "
-                        "e2e at ~1-2%% activation quantization error — "
-                        "validate Dice on real data before production use")
+                        "e2e; measured segmentation-level error on a trained "
+                        "model (perf/natt_int8_acc.py, 256^2 synthetic task): "
+                        "pixel argmax flip rate 0.0085%%, Dice delta "
+                        "+0.003 pts, mean logit error 0.26%% — well inside "
+                        "the 0.5-pt budget; confirm once on real data before "
+                        "production use")
     p.add_argument("--serve", action="store_true", default=False,
                    help="run --test inference through the fused serving engine "
                         "(structural_reparam + serve.deploy_forward)")
