@@ -46,6 +46,7 @@ def _run_step(state, images, labels, mesh=None, spatial=False):
     return new_state, float(loss), np.asarray(cm)
 
 
+@pytest.mark.slow  # 401 s on the 1-core host — round-5 fast-tier re-tier
 def test_data_parallel_matches_single_device(setup):
     state, images, labels = setup
     _, loss_single, cm_single = _run_step(state, images, labels)
@@ -56,6 +57,7 @@ def test_data_parallel_matches_single_device(setup):
     np.testing.assert_allclose(cm_dp, cm_single, rtol=1e-5)
 
 
+@pytest.mark.slow  # 207 s + 194 s fixture setup — round-5 fast-tier re-tier
 def test_spatial_sharding_runs(setup):
     state, images, labels = setup
     mesh = make_mesh(n_data=4, n_spatial=2)
@@ -63,6 +65,9 @@ def test_spatial_sharding_runs(setup):
     assert np.isfinite(loss)
 
 
+@pytest.mark.slow  # 509 s (two full train-graph compiles since the round-5
+# equivalence strengthening); the driver independently runs dryrun_multichip
+# every round, so fast-tier coverage is redundant with the MULTICHIP artifact
 def test_dryrun_multichip_entry():
     import sys, os
 
@@ -104,6 +109,7 @@ def test_cli_n_spatial_matches_unsharded(tmp_path, monkeypatch):
     np.testing.assert_allclose(a, b, atol=2e-4)  # 4-decimal CSV resolution
 
 
+@pytest.mark.slow  # 267 s — round-5 fast-tier re-tier
 def test_sharded_serving_matches_single_device():
     """serving_evaluate over a data mesh == single-device serving_evaluate
     (scale-out serving is semantics-preserving)."""

@@ -69,6 +69,9 @@ def test_step_counter_and_lr_schedule():  # no state fixture: pure schedule math
     assert 1e-6 < mid < 1e-3
 
 
+@pytest.mark.slow  # 342 s (full train-graph compile) — round-5 fast-tier
+# re-tier; train-step coverage in the fast tier is retained at the unit level
+# (engine/optimizer/loss tests) and end-to-end in the slow tier + CLI e2e
 def test_multiclass_training(rng):
     # VOC-style multiclass: 3 classes end-to-end through loss + metrics
     cfg = dict(TINY)
