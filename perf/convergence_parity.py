@@ -243,6 +243,9 @@ def main():
     ap.add_argument("--out", default=None, help="write JSON result here")
     ap.add_argument("--save-params", default=None,
                     help="npz path for the trained jax params (natt_int8_acc.py)")
+    ap.add_argument("--seed", type=int, default=0,
+                    help="offsets the dataset seed and the init key "
+                         "(robustness re-runs)")
     args = ap.parse_args()
     if args.quick:
         args.epochs, args.n = 3, 16
@@ -258,7 +261,7 @@ def main():
     from test_full_model_parity import _transplant
     from lmnet_tpu.models import LMNet
 
-    images, masks = make_synthetic_dataset(args.n, args.size)
+    images, masks = make_synthetic_dataset(args.n, args.size, seed=10086 + args.seed)
     n_val = max(args.n // 4, args.batch)
     data = (images[:-n_val], masks[:-n_val], images[-n_val:], masks[-n_val:])
     log(f"dataset: {len(data[0])} train / {n_val} val @ {args.size}^2, "
@@ -266,7 +269,8 @@ def main():
 
     model = LMNet(num_classes=2, gelu_exact=True, nat_backend="xla", rc_remat=False)
     variables = model.init(
-        jax.random.key(0), jnp.zeros((1, args.size, args.size, 3)), train=False
+        jax.random.key(args.seed), jnp.zeros((1, args.size, args.size, 3)),
+        train=False,
     )
     import flax
 
