@@ -74,13 +74,22 @@ def main():
                 # Only an OOM justifies retrying with the remat fit-lever;
                 # any other failure is a bug in the non-remat path and must
                 # surface as such, not be recorded as "needs remat to fit".
+                # The remote-compile helper reports HBM OOM as an opaque
+                # "HTTP 500: tpu_compile_helper subprocess exit code 1"
+                # (round-3 ledger: B=160/192 OOMs presented exactly this
+                # way) — treat that as likely-OOM but tag it distinctly so
+                # a genuine compiler bug is still visible in the output.
+                low = err.lower()
                 oom = any(
-                    s in err.lower()
+                    s in low
                     for s in ("resource_exhausted", "resource exhausted", "out of memory", "oom")
                 )
-                kind = "OOM" if oom else "NON-OOM BUG"
+                helper = "tpu_compile_helper" in err or "remote_compile" in err
+                kind = "OOM" if oom else (
+                    "REMOTE-COMPILE FAIL, likely OOM" if helper else "NON-OOM BUG"
+                )
                 print(f"{tag}: FAIL ({kind}) {err}", flush=True)
-                if oom:
+                if oom or helper:
                     continue  # try the remat fallback
                 break  # real bug — do not mask it behind the remat path
             print(f"{tag}: {rate:.1f} img/s", flush=True)
